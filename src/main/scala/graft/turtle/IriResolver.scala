@@ -1,0 +1,125 @@
+package graft.turtle
+
+/** RFC 3986 reference resolution (§5.2), matching the strict resolver the
+  * reference uses (oxiri; see /root/reference/src/triple_production.rs:337-343
+  * — "Requires parsing the base and the iri").
+  *
+  * Public-knowledge algorithm: RFC 3986 sections 5.2.1-5.2.4 + 5.3
+  * (merge, remove_dot_segments, recomposition). No transformation is applied
+  * when no base is set — the reference passes relative IRIs through verbatim
+  * in that case (triple_production.rs:339-342).
+  */
+object IriResolver {
+
+  /** scheme / authority / path / query / fragment split per RFC 3986
+    * Appendix B. Never fails — every string decomposes. */
+  final case class IriParts(
+      scheme: Option[String],
+      authority: Option[String],
+      path: String,
+      query: Option[String],
+      fragment: Option[String]) {
+
+    def recompose: String = {
+      val sb = new java.lang.StringBuilder
+      scheme.foreach { s => sb.append(s).append(':') }
+      authority.foreach { a => sb.append("//").append(a) }
+      sb.append(path)
+      query.foreach { q => sb.append('?').append(q) }
+      fragment.foreach { f => sb.append('#').append(f) }
+      sb.toString
+    }
+  }
+
+  def split(s: String): IriParts = {
+    var rest = s
+    var scheme: Option[String] = None
+    var authority: Option[String] = None
+    var query: Option[String] = None
+    var fragment: Option[String] = None
+
+    val hash = rest.indexOf('#')
+    if (hash >= 0) { fragment = Some(rest.substring(hash + 1)); rest = rest.substring(0, hash) }
+    val qm = rest.indexOf('?')
+    if (qm >= 0) { query = Some(rest.substring(qm + 1)); rest = rest.substring(0, qm) }
+    // scheme = 1+ chars without :/?# followed by ':'
+    val colon = rest.indexOf(':')
+    if (colon > 0 && rest.substring(0, colon).forall(c =>
+        c != '/' && c != '?' && c != '#') && isSchemeLike(rest.substring(0, colon))) {
+      scheme = Some(rest.substring(0, colon))
+      rest = rest.substring(colon + 1)
+    }
+    if (rest.startsWith("//")) {
+      val afterAuth = rest.indexWhere(c => c == '/', 2) match {
+        case -1 => rest.length
+        case i  => i
+      }
+      authority = Some(rest.substring(2, afterAuth))
+      rest = rest.substring(afterAuth)
+    }
+    IriParts(scheme, authority, rest, query, fragment)
+  }
+
+  /** RFC 3986 §3.1: ALPHA (ALPHA|DIGIT|'+'|'-'|'.')* */
+  private def isSchemeLike(s: String): Boolean =
+    s.nonEmpty && s.head.isLetter && s.forall(c =>
+      c.isLetterOrDigit || c == '+' || c == '-' || c == '.')
+
+  /** Validate + parse a base IRI (mirrors oxiri Iri::parse failing on
+    * relative input — triple_production.rs:247). */
+  def parseBase(s: String): Either[String, IriParts] = {
+    val p = split(s)
+    if (p.scheme.isEmpty) Left(s"Invalid base IRI (no scheme): $s")
+    else Right(p)
+  }
+
+  /** RFC 3986 §5.2.2 transform references. */
+  def resolve(base: IriParts, ref: String): String = {
+    val r = split(ref)
+    val t =
+      if (r.scheme.isDefined)
+        r.copy(path = removeDotSegments(r.path))
+      else if (r.authority.isDefined)
+        IriParts(base.scheme, r.authority, removeDotSegments(r.path), r.query, r.fragment)
+      else if (r.path.isEmpty)
+        IriParts(base.scheme, base.authority, base.path,
+          if (r.query.isDefined) r.query else base.query, r.fragment)
+      else if (r.path.startsWith("/"))
+        IriParts(base.scheme, base.authority, removeDotSegments(r.path), r.query, r.fragment)
+      else
+        IriParts(base.scheme, base.authority,
+          removeDotSegments(merge(base, r.path)), r.query, r.fragment)
+    t.recompose
+  }
+
+  /** RFC 3986 §5.2.3 */
+  private def merge(base: IriParts, refPath: String): String =
+    if (base.authority.isDefined && base.path.isEmpty) "/" + refPath
+    else {
+      val i = base.path.lastIndexOf('/')
+      if (i < 0) refPath else base.path.substring(0, i + 1) + refPath
+    }
+
+  /** RFC 3986 §5.2.4 */
+  private def removeDotSegments(path: String): String = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) { in = "/" + in.substring(4); if (out.nonEmpty) out.remove(out.length - 1) }
+      else if (in == "/..") { in = "/"; if (out.nonEmpty) out.remove(out.length - 1) }
+      else if (in == "." || in == "..") in = ""
+      else {
+        // move first segment (incl. leading '/') to output
+        val start = if (in.startsWith("/")) 1 else 0
+        val next = in.indexOf('/', start)
+        if (next < 0) { out += in; in = "" }
+        else { out += in.substring(0, next); in = in.substring(next) }
+      }
+    }
+    out.mkString
+  }
+}
