@@ -1,0 +1,93 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import Model.TripleRow
+
+/** Entity canonicalization via connected components over owl:sameAs edges
+  * (SURVEY.md §2.5): iterative DataFrame hash-min label propagation —
+  * every vertex converges to the lexicographically smallest IRI in its
+  * component, which becomes the canonical id.
+  *
+  * Scale design (north_rule: "partitioning / shuffle / skew handled
+  * explicitly"):
+  *  - edges are deduplicated BEFORE the loop — hub entities appear in ~20%
+  *    of documents, so raw edge multiplicity is power-law; dedup collapses
+  *    it to vocabulary scale and is itself skew-safe (partial aggregation
+  *    does the heavy lifting map-side).
+  *  - the propagation join keys on vertex id AFTER dedup, so hub skew is
+  *    bounded by max degree, and AQE skew-join splitting
+  *    (spark.sql.adaptive.skewJoin) covers residual imbalance.
+  *  - `localCheckpoint` each iteration truncates the lineage so plan size
+  *    doesn't grow O(iterations) (SURVEY.md §4).
+  *  - convergence in O(log diameter) iterations for min-propagation on these
+  *    star-shaped alias clusters (typically 2).
+  */
+object Canonicalize {
+
+  /** sameAs edges from the triple stream (iri ↔ iri). */
+  def sameAsEdges(triples: Dataset[TripleRow]): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    triples
+      .filter(t => t.error == null && t.pred == PagesSource.SAME_AS &&
+        t.obj_kind == "iri" && t.subj_kind == "iri")
+      .select($"subj".as("src"), $"obj_value".as("dst"))
+      .distinct()
+  }
+
+  /** Hash-min connected components. Input: (src, dst) string edges.
+    * Output: (id, canonical). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // symmetrize once; the propagation below then only needs src→dst flow
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = sym.select($"src".as("id")).distinct()
+      .withColumn("label", $"id")
+      .localCheckpoint()
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val msgs = sym.join(labels, sym("src") === labels("id"))
+        .select(sym("dst").as("id"), labels("label"))
+      val next = msgs.union(labels.select($"id", $"label"))
+        .groupBy($"id").agg(min($"label").as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), $"n.id" === $"o.id")
+        .filter($"n.label" =!= $"o.label")
+        .limit(1).count() // any-change probe, cheap
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select($"id", $"label".as("canonical"))
+  }
+
+  /** Rewrite triples so subjects/objects use canonical entity ids.
+    * Both joins are LEFT joins against the (small, vocabulary-sized) label
+    * table → broadcast; non-entities pass through unchanged. */
+  def canonicalizeTriples(triples: Dataset[TripleRow], labels: DataFrame): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val l = labels.select($"id", $"canonical")
+    triples.toDF()
+      .join(broadcast(l).as("ls"), $"subj" === $"ls.id", "left")
+      .withColumn("subj_c", coalesce($"ls.canonical", $"subj"))
+      .drop("id", "canonical")
+      .join(broadcast(l).as("lo"),
+        $"obj_kind" === "iri" && $"obj_value" === $"lo.id", "left")
+      .withColumn("obj_c", coalesce($"lo.canonical", $"obj_value"))
+      .drop("id", "canonical")
+      .select($"url", $"block", $"subj_c".as("subj"), $"subj_kind", $"pred",
+        $"obj_kind", $"obj_c".as("obj_value"), $"obj_datatype", $"obj_lang",
+        $"error")
+  }
+}

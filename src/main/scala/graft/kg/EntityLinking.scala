@@ -1,0 +1,141 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import Model._
+
+/** Mention detection + dictionary entity linking (SURVEY.md §2.5).
+  *
+  * Two-phase, Spark-first:
+  *  1. EXACT: normalized-surface equi-join against the dictionary. The
+  *     dictionary is tiny relative to the corpus → `broadcast()` — no
+  *     shuffle of the (huge) mention side.
+  *  2. LSH fallback for near-matches: MinHash over character-3-gram shingles,
+  *     banded (b bands × r rows) so that near-duplicate surfaces collide on
+  *     at least one band key with high probability; candidates verified with
+  *     exact Jaccard, best match per mention picked by a deterministic
+  *     `max(struct(jaccard, entity))` aggregation (no window needed).
+  *
+  * At 10^12-document scale the mention side never shuffles: both joins are
+  * broadcast (dict and dict-bands are bounded by vocabulary size, not corpus
+  * size). The only wide op is the final per-mention groupBy, keyed by
+  * (url, surface) — uniformly distributed by construction of url.
+  */
+object EntityLinking {
+
+  val NUM_HASHES = 12
+  val BAND_ROWS = 2
+  val NUM_BANDS = NUM_HASHES / BAND_ROWS
+  val JACCARD_THRESHOLD = 0.35
+
+  def normalize(s: String): String =
+    s.toLowerCase.map(c => if (c.isLetterOrDigit) c else ' ')
+      .split("\\s+").filter(_.nonEmpty).mkString(" ")
+
+  def shingles(norm: String, k: Int = 3): Array[String] = {
+    val padded = if (norm.length < k) norm else norm
+    if (padded.length <= k) Array(padded)
+    else Array.tabulate(padded.length - k + 1)(i => padded.substring(i, i + k))
+  }
+
+  /** MinHash signature: min over shingles of h_i(s), h_i = mix64(fnv(s)^seed_i). */
+  def minhash(sh: Array[String]): Array[Long] = {
+    val sig = Array.fill(NUM_HASHES)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val base = PagesSource.fnv64(sh(i))
+      var h = 0
+      while (h < NUM_HASHES) {
+        val v = PagesSource.mix64(base ^ (h * 0x9E3779B97F4A7C15L))
+        if (v < sig(h)) sig(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** (bandId, bandHash) keys for LSH blocking. */
+  def bands(sig: Array[Long]): Array[(Int, Long)] =
+    Array.tabulate(NUM_BANDS) { b =>
+      var h = 0xCBF29CE484222325L
+      var r = 0
+      while (r < BAND_ROWS) {
+        h = (h ^ sig(b * BAND_ROWS + r)) * 0x100000001B3L
+        r += 1
+      }
+      (b, h)
+    }
+
+  def jaccard(a: Array[String], b: Array[String]): Double = {
+    val sa = a.toSet
+    val sb = b.toSet
+    val inter = sa.intersect(sb).size
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Detect mentions in the triple stream: literal objects of the mention
+    * predicate. Pure projection — no shuffle. */
+  def mentions(triples: Dataset[TripleRow]): Dataset[Mention] = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    triples
+      .filter(t => t.error == null && t.pred == PagesSource.MENTIONS_PRED &&
+        t.obj_kind == "literal")
+      .map(t => Mention(t.url, t.obj_value, normalize(t.obj_value)))
+  }
+
+  /** Link mentions against the dictionary. Returns one row per mention that
+    * found a match (exact preferred over lsh). */
+  def link(mentions: Dataset[Mention], dict: Dataset[DictEntry]): DataFrame = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+
+    val dictDf = dict.toDF("dict_surface", "entity_iri")
+
+    // Phase 1: exact normalized match, broadcast hash join.
+    val exact = mentions.toDF()
+      .join(broadcast(dictDf), $"norm" === $"dict_surface", "left")
+
+    val hit = exact.filter($"entity_iri".isNotNull)
+      .select($"url", $"surface", $"entity_iri", lit("exact").as("method"))
+
+    val miss = exact.filter($"entity_iri".isNull)
+      .select($"url", $"surface", $"norm").as[(String, String, String)]
+
+    // Phase 2: LSH banding for the misses.
+    val missBands = miss.flatMap { case (url, surface, norm) =>
+      bands(minhash(shingles(norm))).iterator.map { case (b, h) =>
+        (url, surface, norm, b, h)
+      }
+    }.toDF("url", "surface", "norm", "band", "bandhash")
+
+    val dictBands = dict.flatMap { d =>
+      bands(minhash(shingles(d.surface))).iterator.map { case (b, h) =>
+        (d.surface, d.entity_iri, b, h)
+      }
+    }.toDF("dict_surface", "cand_iri", "band", "bandhash")
+
+    val jac = udf((a: String, b: String) => jaccard(shingles(a), shingles(b)))
+
+    val lsh = missBands
+      .join(broadcast(dictBands), Seq("band", "bandhash"))
+      .select($"url", $"surface", $"norm", $"dict_surface", $"cand_iri").distinct()
+      .withColumn("jaccard", jac($"norm", $"dict_surface"))
+      .filter($"jaccard" >= JACCARD_THRESHOLD)
+      .groupBy($"url", $"surface")
+      // deterministic best match: lexicographic max of (jaccard, entity)
+      .agg(max(struct($"jaccard", $"cand_iri")).as("best"))
+      .select($"url", $"surface", $"best.cand_iri".as("entity_iri"),
+        lit("lsh").as("method"))
+
+    hit.unionByName(lsh)
+  }
+
+  /** End-to-end: triples → linked mentions. */
+  def run(triples: Dataset[TripleRow]): DataFrame = {
+    val spark = triples.sparkSession
+    link(mentions(triples), PagesSource.dictionary(spark))
+  }
+}

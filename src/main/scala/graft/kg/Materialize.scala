@@ -1,0 +1,89 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/** Graph materialization: partitioned triple tables + per-partition lineage
+  * + a resumable checkpoint manifest (SURVEY.md §2.5 / §7 step 10).
+  *
+  * Iceberg-style semantics without the Iceberg runtime (not on the sandbox
+  * classpath): hash-bucketed directory layout, a JSON manifest written LAST
+  * (write-temp + atomic rename) as the commit point, and resume via
+  * bucket-set difference against the manifest — exactly the
+  * partition-level atomic-commit + resumability contract of the north_rule.
+  *
+  * Scale notes:
+  *  - bucket = pmod(hash(subj), numBuckets): co-locates all triples of a
+  *    subject → downstream subject-keyed joins and dedup are co-partitioned.
+  *  - repartition on the bucket column before partitionBy → exactly one
+  *    file per bucket per write, no small-file explosion at 1000 executors.
+  *  - dedup (dropDuplicates) runs inside the same shuffle because its keys
+  *    start with the bucket's hash input — partial aggregation map-side.
+  */
+object Materialize {
+
+  val NUM_BUCKETS = 16
+
+  def bucketed(triples: DataFrame): DataFrame =
+    triples.withColumn("bucket",
+      pmod(xxhash64(coalesce(col("subj"), col("url"))), lit(NUM_BUCKETS)).cast("int"))
+
+  /** Write buckets not yet present in the manifest; returns lineage rows. */
+  def write(triples: DataFrame, outDir: String): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+
+    val done: Set[Int] = readManifest(outDir)
+    val withBucket = bucketed(triples)
+    val pending = withBucket.filter(!col("bucket").isin(done.toSeq: _*))
+
+    val deduped = pending
+      .dropDuplicates("subj", "pred", "obj_kind", "obj_value", "obj_datatype",
+        "obj_lang", "error", "url", "block")
+      .repartition(col("bucket"))
+
+    deduped.write.mode(SaveMode.Append)
+      .partitionBy("bucket")
+      .parquet(s"$outDir/triples")
+
+    // per-bucket lineage (counts of pages/blocks/triples/errors)
+    val lineage = withBucket.groupBy($"bucket").agg(
+      countDistinct($"url").as("pages"),
+      countDistinct($"url", $"block").as("blocks"),
+      count(when($"error".isNull, 1)).as("triples"),
+      count(when($"error".isNotNull, 1)).as("errors"))
+    lineage.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/_lineage")
+
+    writeManifest(outDir, done ++ (0 until NUM_BUCKETS))
+    lineage
+  }
+
+  /** Manifest = commit point. Written to a temp file then atomically renamed. */
+  def writeManifest(outDir: String, buckets: Set[Int]): Unit = {
+    val p = Paths.get(outDir)
+    Files.createDirectories(p)
+    val json =
+      s"""{"format":"graft-triples-v1","numBuckets":$NUM_BUCKETS,"completedBuckets":[${buckets.toSeq.sorted.mkString(",")}]}"""
+    val tmp = p.resolve("_manifest.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p.resolve("_manifest.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readManifest(outDir: String): Set[Int] = {
+    val f = Paths.get(outDir, "_manifest.json")
+    if (!Files.exists(f)) Set.empty
+    else {
+      val s = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      val m = "\"completedBuckets\":\\[([0-9,]*)\\]".r.findFirstMatchIn(s)
+      m.map(_.group(1)).filter(_.nonEmpty)
+        .map(_.split(",").map(_.toInt).toSet).getOrElse(Set.empty)
+    }
+  }
+
+  def readTriples(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/triples")
+}

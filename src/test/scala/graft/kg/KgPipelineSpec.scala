@@ -1,0 +1,107 @@
+package graft.kg
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = KgPipeline.session("local[4]", 4)
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class KgPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkTestSession.spark
+
+  test("pages generation is deterministic and invariant holds") {
+    import spark.implicits._
+    val a = PagesSource.pages(spark, 100).collect().sortBy(_.url)
+    val b = PagesSource.pages(spark, 100).collect().sortBy(_.url)
+    assert(a.map(_.url).sameElements(b.map(_.url)))
+    assert(a.map(_.text).sameElements(b.map(_.text)))
+    // extraction invariant: extractText(html) == text, byte-identical
+    a.foreach { p => assert(Extract.extractText(p.html) == p.text, p.url) }
+    // mix of block shapes exists
+    assert(a.exists(p => Extract.extractBlocks(p.html).isEmpty))
+    assert(a.exists(p => Extract.extractBlocks(p.html).size == 2))
+  }
+
+  test("triple extraction yields triples and error rows, deterministically") {
+    import spark.implicits._
+    val pages = PagesSource.pages(spark, 200)
+    val t1 = TripleExtraction.run(pages).collect()
+    val t2 = TripleExtraction.run(pages).collect()
+    assert(t1.sortBy(r => (r.url, r.block, r.subj, r.pred, r.obj_value))
+      .sameElements(t2.sortBy(r => (r.url, r.block, r.subj, r.pred, r.obj_value))))
+    val ok = t1.filter(_.error == null)
+    val err = t1.filter(_.error != null)
+    assert(ok.nonEmpty && err.nonEmpty)
+    assert(err.forall(_.error.startsWith("NotFullyParsed") ||
+      err.forall(_.error.startsWith("ProduceError"))))
+    // blank node labels are globally unique per (url, block)
+    val bnodes = ok.filter(_.subj_kind == "bnode").map(_.subj)
+    bnodes.foreach(b => assert(b.startsWith("_:h")))
+  }
+
+  test("round-trip audit: every well-formed block is byte-identical") {
+    import spark.implicits._
+    val rt = TripleExtraction.roundTrip(PagesSource.pages(spark, 200)).collect()
+    val parsedOk = rt.filter(_.parsed)
+    assert(parsedOk.nonEmpty)
+    assert(parsedOk.forall(_.byte_identical))
+    assert(rt.exists(!_.parsed)) // malformed rows present
+  }
+
+  test("entity linking: exact + lsh paths both link correctly") {
+    import spark.implicits._
+    val triples = TripleExtraction.run(PagesSource.pages(spark, 300))
+    val linked = EntityLinking.run(triples).collect()
+    assert(linked.nonEmpty)
+    val methods = linked.map(_.getString(3)).toSet
+    assert(methods.contains("exact"))
+    assert(methods.contains("lsh"))
+    // every link points at the entity whose surface generated the mention
+    linked.foreach { r =>
+      val surface = r.getString(1)
+      val iri = r.getString(2)
+      val e = iri.stripPrefix(PagesSource.ENTITY_NS).toInt
+      assert(PagesSource.surfaceVariants(e).exists(v =>
+        EntityLinking.normalize(v) == EntityLinking.normalize(surface)),
+        s"mention '$surface' linked to wrong entity $iri")
+    }
+  }
+
+  test("connected components: aliases collapse to canonical ids") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), // component {a,b,c}
+      ("x", "y"), // component {x,y}
+      ("q", "q")).toDF("src", "dst")
+    val labels = Canonicalize.connectedComponents(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels("a") == "a" && labels("b") == "a" && labels("c") == "a")
+    assert(labels("x") == "x" && labels("y") == "x")
+  }
+
+  test("full pipeline: run, materialize, manifest, resume") {
+    val out = java.nio.file.Files.createTempDirectory("graft-kg").toString
+    val r = KgPipeline.run(spark, 300, out)
+    assert(r.triples > 0)
+    assert(r.errors > 0)
+    assert(r.linkedMentions > 0)
+    assert(r.components > 0)
+    assert(Materialize.readManifest(out) == (0 until Materialize.NUM_BUCKETS).toSet)
+    val written = Materialize.readTriples(spark, out)
+    assert(written.count() > 0)
+    // resume: a second write is a no-op (all buckets committed)
+    val before = written.count()
+    Materialize.write(
+      Canonicalize.canonicalizeTriples(
+        TripleExtraction.run(PagesSource.pages(spark, 300)),
+        spark.emptyDataFrame.selectExpr("'' as id", "'' as canonical").limit(0)),
+      out)
+    assert(Materialize.readTriples(spark, out).count() == before)
+  }
+}
