@@ -1,24 +1,68 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.kg.{KgPipeline, PagesSource}
+
+/** Benchmark harness (driver-run per round → BENCH_r{N}.json).
+  *
+  * Measures, per BASELINE.md:
+  *  1. end-to-end KG pipeline throughput (triples/sec: synthesize → extract →
+  *     parse/produce → link → canonicalize → materialize incl. lineage +
+  *     manifest) at TWO parallelism levels on the SAME input — the sandbox
+  *     proxy for the north_rule's N vs 4N-executor scaling efficiency;
+  *  2. wall-clock per headline query at full parallelism.
+  *
+  * Prints ONE JSON line.
+  */
 object Bench {
+
+  private def runPipeline(cpus: Int, n: Long): (Double, Long) = {
+    val spark = KgPipeline.session(s"local[$cpus]", cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    val out = java.nio.file.Files.createTempDirectory(s"graft-bench-$cpus").toString
+    val t0 = System.nanoTime()
+    val r = KgPipeline.run(spark, n, out)
+    val dt = (System.nanoTime() - t0) / 1e9
+    spark.stop()
+    (dt, r.triples)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpusHigh = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val cpusLow = math.max(cpusHigh / 4, 1)
+    val n = PagesSource.countForSfDir(sfDir)
+
+    // --- pipeline throughput at two parallelism levels (same input) ---
+    val (tLow, trLow) = runPipeline(cpusLow, n)
+    val (tHigh, trHigh) = runPipeline(cpusHigh, n)
+    val thrLow = trLow / tLow
+    val thrHigh = trHigh / tHigh
+    val eff = thrHigh / (thrLow * (cpusHigh.toDouble / cpusLow))
+
+    // --- headline query timings at full parallelism ---
+    val spark = KgPipeline.session(s"local[$cpusHigh]", cpusHigh)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val skip = Set("kg_link", "kg_canonical", "kg_roundtrip", "kg_errors",
+      "kg_pred_counts") // pipeline e2e already covers these stages
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (k, _) => skip(k) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     spark.stop()
+
+    def f(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        s""","pipeline":{"pages":$n,"triples":$trHigh""" +
+        s""","cpus_low":$cpusLow,"secs_low":${f(tLow)},"triples_per_sec_low":${f(thrLow)}""" +
+        s""","cpus_high":$cpusHigh,"secs_high":${f(tHigh)},"triples_per_sec_high":${f(thrHigh)}""" +
+        s""","scaling_efficiency":${f(eff)}}}""")
   }
 }

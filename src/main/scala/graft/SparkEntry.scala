@@ -1,13 +1,288 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.kg._
+import graft.ops._
+
+/** Driver contract (see SURVEY.md §7 and the builder prompt).
+  *
+  * `queries` = one entry per implemented operator family; `oracleSql` = the
+  * DuckDB-equivalent SQL for every SQL-expressible query (same column names,
+  * same types — aggregates over doubles are cast to DECIMAL(38,6) BEFORE
+  * summation on BOTH sides so results are exact and order-independent).
+  * KG / LSH / ANN queries are not SQL-expressible → rows-only checks.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  private def dec(c: Column): Column = c.cast(DecimalType(38, 6))
+
+  /** Flagship: full extract→parse→produce over synthetic pages at sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    TripleExtraction.run(PagesSource.pages(spark, 500)).toDF()
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- KG construction pipeline (SURVEY.md §2; not SQL-expressible) ---
+    "kg_triples" -> ((s, d) =>
+      TripleExtraction.run(PagesSource.pages(s, PagesSource.countForSfDir(d))).toDF()),
+    "kg_roundtrip" -> ((s, d) =>
+      TripleExtraction.roundTrip(PagesSource.pages(s, PagesSource.countForSfDir(d))).toDF()),
+    "kg_pred_counts" -> ((s, d) =>
+      TripleExtraction.run(PagesSource.pages(s, PagesSource.countForSfDir(d)))
+        .toDF().filter(col("error").isNull)
+        .groupBy(col("pred")).agg(count(lit(1)).as("n"))),
+    "kg_link" -> ((s, d) =>
+      EntityLinking.run(
+        TripleExtraction.run(PagesSource.pages(s, PagesSource.countForSfDir(d))))),
+    "kg_canonical" -> ((s, d) =>
+      Canonicalize.connectedComponents(
+        Canonicalize.sameAsEdges(
+          TripleExtraction.run(PagesSource.pages(s, PagesSource.countForSfDir(d)))))),
+    "kg_errors" -> ((s, d) =>
+      TripleExtraction.run(PagesSource.pages(s, PagesSource.countForSfDir(d)))
+        .toDF().filter(col("error").isNotNull)
+        .select(col("url"), col("block"), col("error"))),
+
+    // --- relational core (oracled against DuckDB) ---
+    "q1_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (sum(dec(col("l_quantity"))) * 1000000).cast("long").as("sum_qty_micro"),
+          (sum(dec(col("l_extendedprice"))) * 1000000).cast("long").as("sum_price_micro"),
+          count(lit(1)).as("n_rows"))),
+    "q2_join_broadcast" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(dec(col("o_totalprice"))) * 1000000).cast("long").as("sum_total_micro"))),
+    "q3_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          (dec(col("o_totalprice")) * 1000000).cast("long").as("top_price_micro"))
+    }),
+    "q4_sort_limit" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .limit(100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (dec(col("l_extendedprice")) * 1000000).cast("long").as("price_micro"))),
+    "q5_setop" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        .union(c.filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey")))
+        .except(c.filter(col("c_acctbal") < 0).select(col("c_custkey")))
+    }),
+    "q6_time_agg" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(dec(col("value"))) * 1000000).cast("long").as("sum_value_micro"))),
+    "q7_distinct_agg" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))),
+    "q8_semi_join" -> ((s, d) =>
+      t(s, d, "orders").join(
+        t(s, d, "lineitem").filter(col("l_quantity") > 45),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"))),
+    "q9_anti_join" -> ((s, d) =>
+      t(s, d, "customer").join(
+        t(s, d, "orders").filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+    "q10_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("brk",
+          when(col("prev_ts").isNull, lit(0))
+            .when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, lit(1))
+            .otherwise(lit(0)))
+        .withColumn("session_id", sum(col("brk")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
+            .as("duration_sec"))
+    }),
+
+    // --- training-data ops: text analysis (oracled where SQL-expressible) ---
+    "text_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))),
+    "text_quality" -> ((s, d) =>
+      TextOps.qualityCounts(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("n_punct"),
+          col("n_upper"), col("n_digits"), col("n_stopwords"))),
+    "text_langid" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.langId(col("text")).as("lang_pred"))),
+    "text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+
+    // --- training-data ops: dedup ---
+    "dedup_exact" -> ((s, d) =>
+      DedupOps.exactDedup(dupCorpus(s, d, perturb = false))),
+    "dedup_minhash" -> ((s, d) =>
+      DedupOps.minhashDedup(dupCorpus(s, d, perturb = true), 0.5)),
+    "dedup_simhash" -> ((s, d) =>
+      DedupOps.simhashDedup(dupCorpus(s, d, perturb = true), 3)),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      DedupOps.ngramJaccardDedup(dupCorpus(s, d, perturb = true), 0.8)),
+    "dedup_embedding" -> ((s, d) =>
+      SimilarityOps.embeddingDedup(embCorpus(s, d), 0.95)),
+
+    // --- training-data ops: similarity search ---
+    "ann_brute_topk" -> ((s, d) =>
+      SimilarityOps.bruteForceTopK(t(s, d, "embeddings"), 8, 10)),
+    "ann_lsh_topk" -> ((s, d) =>
+      SimilarityOps.lshTopK(t(s, d, "embeddings"), 8, 10)),
+
+    // --- multimodal plumbing (stubbed decode, real Spark shape) ---
+    "mm_features" -> ((s, d) => {
+      import s.implicits._
+      MultimodalOps.extractFeatures(
+        MultimodalOps.mediaFromPages(
+          PagesSource.pages(s, math.min(PagesSource.countForSfDir(d), 2000))))
+        .toDF().select(col("media_id"), col("kind"), col("byte_len"),
+          col("width"), col("height"))
+    }),
+    "mm_frames" -> ((s, d) =>
+      MultimodalOps.frameSample(
+        MultimodalOps.mediaFromPages(
+          PagesSource.pages(s, math.min(PagesSource.countForSfDir(d), 2000))))))
+
+  /** The dedup corpus: documents plus deterministic near-duplicate copies
+    * (id + 10^9, last token dropped) so near-dup detection has guaranteed
+    * positives at every scale. perturb=false → exact copies. */
+  private def dupCorpus(s: SparkSession, d: String, perturb: Boolean): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val dups = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+      .withColumn("text",
+        if (perturb) regexp_replace(col("text"), "\\s+\\S+\\s*$", "")
+        else col("text"))
+    docs.unionByName(dups)
+  }
+
+  /** Embedding corpus with guaranteed near-dups: every 10th vector gets a
+    * slightly-scaled copy (cosine 1.0 with its source). */
+  private def embCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val dups = e.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(1000000000L))
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(1.01f)))
+    e.unionByName(dups)
+  }
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS sum_qty_micro,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS sum_price_micro,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q2_join_broadcast" ->
+      """SELECT n_name, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS sum_total_micro
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q3_window" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS top_price_micro
+         FROM (SELECT *, row_number() OVER
+           (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn = 1""",
+    "q4_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(CAST(l_extendedprice AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS price_micro
+         FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+         LIMIT 100""",
+    "q5_setop" ->
+      """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+         EXCEPT
+         SELECT c_custkey FROM customer WHERE c_acctbal < 0""",
+    "q6_time_agg" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS sum_value_micro
+         FROM events GROUP BY 1, 2""",
+    "q7_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+         count(*) AS n_events
+         FROM events GROUP BY event_type""",
+    "q8_semi_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_orderkey IN
+           (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)""",
+    "q9_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""",
+    "q10_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                  WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 THEN 1
+                  ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         sess AS (
+           SELECT user_id, sec,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM e)
+         SELECT user_id, session_id, count(*) AS n_events,
+           CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec
+         FROM sess GROUP BY user_id, session_id""",
+    "text_tokens" ->
+      """SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tokens
+         FROM documents""",
+    "text_quality" ->
+      """SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tokens,
+         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT AS n_punct,
+         (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::BIGINT AS n_upper,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digits,
+         len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+           x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as')))::BIGINT AS n_stopwords
+         FROM documents""",
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keeper, count(*) AS n_dups
+         FROM (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 10 = 0)
+         GROUP BY text""")
 }

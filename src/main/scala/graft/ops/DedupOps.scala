@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.kg.PagesSource.{fnv64, mix64}
+
+/** Deduplication operators for training-data curation over `documents`.
+  *
+  * Four families, each with the scale-path shape:
+  *  - exact: hash-groupBy on content (partial agg map-side; one shuffle)
+  *  - MinHash+LSH: shingle → minhash → band → self-join on band key —
+  *    candidate pairs only, never O(n²)
+  *  - SimHash: 64-bit signature, banded into 4×16-bit keys → Hamming-near
+  *    pairs collide on ≥1 band (pigeonhole, ≤3 bit flips)
+  *  - n-gram Jaccard: exact verification on LSH candidates
+  */
+object DedupOps {
+
+  /** Exact dedup: one keeper doc per distinct text. */
+  def exactDedup(documents: DataFrame): DataFrame =
+    documents.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+      .select(col("keeper"), col("n_dups"))
+
+  // ---- MinHash + LSH ---------------------------------------------------
+
+  val NUM_HASHES = 16
+  val BAND_ROWS = 4
+  val NUM_BANDS = NUM_HASHES / BAND_ROWS
+
+  def wordShingles(text: String, k: Int = 3): Array[String] = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (toks.length <= k) Array(toks.mkString(" "))
+    else Array.tabulate(toks.length - k + 1)(i => toks.slice(i, i + k).mkString(" "))
+  }
+
+  def minhashSig(sh: Array[String]): Array[Long] = {
+    val sig = Array.fill(NUM_HASHES)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val base = fnv64(sh(i))
+      var h = 0
+      while (h < NUM_HASHES) {
+        val v = mix64(base ^ (h * 0x9E3779B97F4A7C15L))
+        if (v < sig(h)) sig(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Near-duplicate pairs via MinHash banding, verified with exact n-gram
+    * Jaccard. Returns (a, b, jacc_pct) with a < b; jacc_pct an integer
+    * percentage (stable for hashing). */
+  def minhashDedup(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+
+    val docs = documents.select($"doc_id".cast("long"), $"text").as[(Long, String)]
+    val bandsDs = docs.flatMap { case (id, text) =>
+      val sig = minhashSig(wordShingles(text))
+      (0 until NUM_BANDS).iterator.map { b =>
+        var h = 0xCBF29CE484222325L
+        var r = 0
+        while (r < BAND_ROWS) { h = (h ^ sig(b * BAND_ROWS + r)) * 0x100000001B3L; r += 1 }
+        (id, b, h)
+      }
+    }.toDF("doc_id", "band", "bandhash")
+
+    val cand = bandsDs.as("l").join(bandsDs.as("r"),
+        $"l.band" === $"r.band" && $"l.bandhash" === $"r.bandhash" &&
+          $"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id".as("a"), $"r.doc_id".as("b")).distinct()
+
+    verifyJaccard(cand, documents, threshold)
+  }
+
+  /** Exact word-3-gram Jaccard verification of candidate (a,b) pairs. */
+  def verifyJaccard(cand: DataFrame, documents: DataFrame, threshold: Double): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val texts = documents.select($"doc_id".cast("long"), $"text")
+    val joined = cand
+      .join(texts.withColumnRenamed("doc_id", "a").withColumnRenamed("text", "ta"), "a")
+      .join(texts.withColumnRenamed("doc_id", "b").withColumnRenamed("text", "tb"), "b")
+      .as[(Long, Long, String, String)]
+    joined.map { case (b, a, ta, tb) =>
+      val sa = wordShingles(ta).toSet
+      val sb = wordShingles(tb).toSet
+      val inter = sa.intersect(sb).size
+      val union = sa.size + sb.size - inter
+      val j = if (union == 0) 0.0 else inter.toDouble / union
+      (a, b, (j * 100).toLong)
+    }.toDF("a", "b", "jacc_pct")
+      .filter($"jacc_pct" >= (threshold * 100).toLong)
+  }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  def simhash64(text: String): Long = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = mix64(fnv64(toks(i)))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, blocked on
+    * 4×16-bit bands (any pair within Hamming 3 shares >=1 intact band). */
+  def simhashDedup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sigs = documents.select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)]
+      .map { case (id, t) => (id, simhash64(t)) }
+      .toDF("doc_id", "sig")
+
+    val banded = sigs.select($"doc_id", $"sig",
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright($"sig", b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+      .select($"doc_id", $"sig", $"bk.band", $"bk.key")
+
+    val pairs = banded.as("l").join(banded.as("r"),
+        $"l.band" === $"r.band" && $"l.key" === $"r.key" &&
+          $"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id".as("a"), $"r.doc_id".as("b"),
+        $"l.sig".as("sa"), $"r.sig".as("sb")).distinct()
+
+    pairs
+      .withColumn("hamming", bit_count($"sa".bitwiseXOR($"sb")))
+      .filter($"hamming" <= maxHamming)
+      .select($"a", $"b", $"hamming".cast("long").as("hamming"))
+  }
+
+  /** n-gram Jaccard dedup: LSH candidates verified at a high threshold. */
+  def ngramJaccardDedup(documents: DataFrame, threshold: Double = 0.8): DataFrame =
+    minhashDedup(documents, threshold)
+}

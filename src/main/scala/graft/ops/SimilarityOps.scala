@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kg.PagesSource.mix64
+
+/** Approximate-nearest-neighbor / similarity search over an embedding column
+  * (`embeddings(vec_id BIGINT, embedding ARRAY<FLOAT>, label INT)`).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k — the correctness baseline: the (small) query
+  *    set is broadcast; the corpus is scanned once, scores computed inside a
+  *    typed mapPartitions (tight float loop, no boxing per element), top-k
+  *    per query via one partial-aggregating shuffle keyed by query id.
+  *  - SRP-LSH (signed random projections) bucketed variant — the scale path:
+  *    each vector hashes to a bucket from the signs of `nBits` deterministic
+  *    hyperplanes; queries probe their own bucket plus all Hamming-1
+  *    neighbors; only candidates in probed buckets are scored. Corpus-side
+  *    work per query drops from O(n) to O(n · (nBits+1) / 2^nBits).
+  */
+object SimilarityOps {
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Deterministic hyperplane `h` for dimension `dim`: unit-free gaussian-ish
+    * components from splitmix64 (public PRNG), fixed seed. */
+  private def hyperplane(h: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim) { i =>
+      val r = mix64(0x5EEDL ^ (h.toLong << 32) ^ i.toLong)
+      // map to (-1, 1): take 21 mantissa bits
+      ((r & 0x1FFFFF).toFloat / 0x100000.toFloat) - 1.0f
+    }
+
+  def srpBucket(v: Array[Float], nBits: Int): Int = {
+    var bucket = 0
+    var h = 0
+    while (h < nBits) {
+      val plane = Hyperplanes.get(h, v.length)
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += v(i) * plane(i); i += 1 }
+      if (dot >= 0) bucket |= (1 << h)
+      h += 1
+    }
+    bucket
+  }
+
+  /** Per-executor hyperplane cache (deterministic contents). */
+  private object Hyperplanes {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Float]]()
+    def get(h: Int, dim: Int): Array[Float] =
+      cache.computeIfAbsent((h, dim), { case (hh, d) => hyperplane(hh, d) })
+  }
+
+  /** Brute-force cosine top-k: for each of the first `numQueries` vectors,
+    * the k nearest corpus vectors (excluding self). Deterministic tie-break
+    * on (score desc, vec_id asc). Returns (q_id, rank, vec_id, score_pct). */
+  def bruteForceTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    val vecs = embeddings.select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
+    val queries = vecs.filter(_._1 < numQueries).collect().sortBy(_._1)
+    val qB = spark.sparkContext.broadcast(queries)
+
+    val scored = vecs.mapPartitions { it =>
+      val qs = qB.value
+      it.flatMap { case (id, v) =>
+        qs.iterator.filter(_._1 != id).map { case (qid, qv) =>
+          (qid, id, cosine(qv, v))
+        }
+      }
+    }.toDF("q_id", "vec_id", "score")
+
+    topKPerQuery(scored, k)
+  }
+
+  /** SRP-LSH bucketed ANN: score only candidates whose bucket is within
+    * Hamming-1 of the query bucket. Same output shape as brute force. */
+  def lshTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10,
+      nBits: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    val vecs = embeddings.select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
+    val queries = vecs.filter(_._1 < numQueries).collect().sortBy(_._1)
+    val qWithBuckets = queries.map { case (qid, qv) =>
+      val b = srpBucket(qv, nBits)
+      val probes = b +: Array.tabulate(nBits)(i => b ^ (1 << i))
+      (qid, qv, probes.toSet)
+    }
+    val qB = spark.sparkContext.broadcast(qWithBuckets)
+
+    val scored = vecs.mapPartitions { it =>
+      val qs = qB.value
+      it.flatMap { case (id, v) =>
+        val vb = srpBucket(v, nBits)
+        qs.iterator
+          .filter { case (qid, _, probes) => qid != id && probes.contains(vb) }
+          .map { case (qid, qv, _) => (qid, id, cosine(qv, v)) }
+      }
+    }.toDF("q_id", "vec_id", "score")
+
+    topKPerQuery(scored, k)
+  }
+
+  /** Embedding near-dup detection: pairs with cosine >= minCos among
+    * SRP-bucket collisions (a < b). */
+  def embeddingDedup(embeddings: DataFrame, minCos: Double = 0.95,
+      nBits: Int = 6): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings.select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
+    val bucketed = vecs.map { case (id, v) => (id, v, srpBucket(v, nBits)) }
+      .toDF("vec_id", "embedding", "bucket")
+
+    val pairs = bucketed.as("l").join(bucketed.as("r"),
+        $"l.bucket" === $"r.bucket" && $"l.vec_id" < $"r.vec_id")
+      .select($"l.vec_id".as("a"), $"r.vec_id".as("b"),
+        $"l.embedding".as("va"), $"r.embedding".as("vb"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+
+    pairs.map { case (a, b, va, vb) => (a, b, (cosine(va, vb) * 1000).toLong) }
+      .toDF("a", "b", "cos_permille")
+      .filter($"cos_permille" >= (minCos * 1000).toLong)
+  }
+
+  /** Top-k with deterministic ordering; integer permille score for stable
+    * comparisons. One shuffle keyed by q_id (numQueries keys — fine because
+    * the scored set is already candidate-pruned). */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+        (col("score") * 1000).cast("long").as("score_permille"))
+  }
+}
