@@ -39,11 +39,14 @@ object SimilarityOps {
       ((r & 0x1FFFFF).toFloat / 0x100000.toFloat) - 1.0f
     }
 
-  def srpBucket(v: Array[Float], nBits: Int): Int = {
+  /** SRP bucket of `v` in hash table `table` (tables use disjoint
+    * hyperplane banks — standard multi-table LSH for recall on
+    * high-dimensional data). */
+  def srpBucket(v: Array[Float], nBits: Int, table: Int = 0): Int = {
     var bucket = 0
     var h = 0
     while (h < nBits) {
-      val plane = Hyperplanes.get(h, v.length)
+      val plane = Hyperplanes.get(table * 64 + h, v.length)
       var dot = 0.0
       var i = 0
       while (i < v.length) { dot += v(i) * plane(i); i += 1 }
@@ -83,28 +86,39 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
-  /** SRP-LSH bucketed ANN: score only candidates whose bucket is within
-    * Hamming-1 of the query bucket. Same output shape as brute force. */
+  /** Multi-table SRP-LSH ANN: a vector is a candidate for a query if, in ANY
+    * of the `nTables` tables, its bucket is within Hamming-1 of the query's.
+    * Corpus-side cost per vector is nTables×nBits dot products + set probes;
+    * only candidates get the full cosine. Same output shape as brute force. */
   def lshTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10,
-      nBits: Int = 8): DataFrame = {
+      nBits: Int = 8, nTables: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
 
     val vecs = embeddings.select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
     val queries = vecs.filter(_._1 < numQueries).collect().sortBy(_._1)
     val qWithBuckets = queries.map { case (qid, qv) =>
-      val b = srpBucket(qv, nBits)
-      val probes = b +: Array.tabulate(nBits)(i => b ^ (1 << i))
-      (qid, qv, probes.toSet)
+      val probes = Array.tabulate(nTables) { t =>
+        val b = srpBucket(qv, nBits, t)
+        (Set(b) ++ (0 until nBits).map(i => b ^ (1 << i)))
+      }
+      (qid, qv, probes)
     }
     val qB = spark.sparkContext.broadcast(qWithBuckets)
 
     val scored = vecs.mapPartitions { it =>
       val qs = qB.value
       it.flatMap { case (id, v) =>
-        val vb = srpBucket(v, nBits)
+        val vbs = Array.tabulate(nTables)(t => srpBucket(v, nBits, t))
         qs.iterator
-          .filter { case (qid, _, probes) => qid != id && probes.contains(vb) }
+          .filter { case (qid, _, probes) =>
+            qid != id && {
+              var t = 0
+              var hit = false
+              while (!hit && t < nTables) { hit = probes(t).contains(vbs(t)); t += 1 }
+              hit
+            }
+          }
           .map { case (qid, qv, _) => (qid, id, cosine(qv, v)) }
       }
     }.toDF("q_id", "vec_id", "score")

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming operators over the `events` shape
+  * `(event_id, ts, user_id, event_type, value, props)`.
+  *
+  * The reference engine has no streaming (SURVEY.md §2.5); these are the
+  * Spark-native streaming capabilities the engine exposes: event-time
+  * windowed aggregation with watermarks, and custom session state via
+  * flatMapGroupsWithState. Inputs are any streaming DataFrame with the
+  * events schema (tests drive them with MemoryStream; production would use
+  * a Kafka/file `readStream`).
+  */
+object EventStreams {
+
+  final case class Event(
+      event_id: Long,
+      ts: Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double)
+
+  final case class SessionUpdate(
+      user_id: Long,
+      session_start: Timestamp,
+      n_events: Long,
+      total_value: Double,
+      closed: Boolean)
+
+  final case class SessionState(
+      start: Long,
+      lastSeen: Long,
+      n: Long,
+      total: Double)
+
+  /** Tumbling-window counts/sums per event type with a watermark: late data
+    * beyond the watermark is dropped, state is bounded — the requirement for
+    * unbounded-stream execution. */
+  def windowedCounts(events: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Session windows via native session_window (gap-based). */
+  def sessionWindows(events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Custom session state with flatMapGroupsWithState: emits one update per
+    * batch per active session and a final `closed` record on gap timeout —
+    * the shape used when session output must be richer than an aggregate. */
+  def statefulSessions(events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, new Timestamp(s.start),
+              s.n, s.total, closed = true))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              val prev = state.getOption
+              var cur = prev.getOrElse(SessionState(
+                sorted.head.ts.getTime, sorted.head.ts.getTime, 0L, 0.0))
+              val out = Vector.newBuilder[SessionUpdate]
+              sorted.foreach { e =>
+                val t = e.ts.getTime
+                if (t - cur.lastSeen > gapMs && cur.n > 0) {
+                  out += SessionUpdate(userId, new Timestamp(cur.start),
+                    cur.n, cur.total, closed = true)
+                  cur = SessionState(t, t, 0L, 0.0)
+                }
+                cur = SessionState(cur.start, t, cur.n + 1, cur.total + e.value)
+              }
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.lastSeen + gapMs)
+              out += SessionUpdate(userId, new Timestamp(cur.start),
+                cur.n, cur.total, closed = false)
+              out.result().iterator
+            }
+          }
+      }
+  }
+
+  /** Streaming triple extraction: pages stream → triples stream. Stateless
+    * row-local transform — watermark-free, scales with input partitions. */
+  def streamingTriples(pages: Dataset[graft.kg.Model.Page]): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.flatMap(graft.kg.TripleExtraction.triplesForPage _).toDF()
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kg.SparkTestSession
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup keeps one keeper per distinct text") {
+    val d = DedupOps.exactDedup(docs)
+    assert(d.count() == docs.select("text").distinct().count())
+  }
+
+  test("minhash dedup finds injected near-duplicates with high recall") {
+    import spark.implicits._
+    // inject: drop last token of every 5th doc
+    val base = docs.select($"doc_id", $"text")
+    val dups = base.filter($"doc_id" % 5 === 0)
+      .withColumn("doc_id", $"doc_id" + 100000L)
+      .withColumn("text", regexp_replace($"text", "\\s+\\S+\\s*$", ""))
+    val corpus = base.unionByName(dups)
+    val pairs = DedupOps.minhashDedup(corpus, 0.5)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val injected = base.filter($"doc_id" % 5 === 0).select($"doc_id")
+      .as[Long].collect()
+    val found = injected.count(id => pairs.contains((id, id + 100000L)))
+    assert(found.toDouble / injected.length >= 0.95,
+      s"recall ${found.toDouble / injected.length}")
+  }
+
+  test("simhash dedup finds exact copies at hamming 0") {
+    import spark.implicits._
+    val base = docs.select($"doc_id", $"text")
+    val dups = base.filter($"doc_id" % 5 === 0)
+      .withColumn("doc_id", $"doc_id" + 100000L)
+    val corpus = base.unionByName(dups)
+    val pairSet = DedupOps.simhashDedup(corpus, 0)
+      .select($"a", $"b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val injected = base.filter($"doc_id" % 5 === 0).select($"doc_id").as[Long].collect()
+    val found = injected.count(id => pairSet.contains((id, id + 100000L)))
+    assert(found == injected.length)
+  }
+
+  test("LSH ANN has high top-10 overlap with brute force") {
+    import spark.implicits._
+    val brute = SimilarityOps.bruteForceTopK(embs, 8, 10)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = SimilarityOps.lshTopK(embs, 8, 10)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val overlaps = brute.keys.toSeq.sorted.map { q =>
+      val o = brute(q).intersect(lsh.getOrElse(q, Set.empty)).size.toDouble / 10
+      o
+    }
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.4, s"mean top-10 overlap $mean too low: $overlaps")
+  }
+
+  test("embedding dedup finds scaled copies (cosine 1.0)") {
+    import spark.implicits._
+    val base = embs.select($"vec_id", $"embedding")
+    val dups = base.filter($"vec_id" % 10 === 0)
+      .withColumn("vec_id", $"vec_id" + 100000L)
+      .withColumn("embedding", transform($"embedding", x => x * lit(1.01f)))
+    val corpus = base.unionByName(dups)
+    val pairs = SimilarityOps.embeddingDedup(corpus, 0.99)
+      .select($"a", $"b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val injected = base.filter($"vec_id" % 10 === 0).select($"vec_id").as[Long].collect()
+    val found = injected.count(id => pairs.contains((id, id + 100000L)))
+    // SRP buckets are identical for scaled vectors (same signs) → full recall
+    assert(found == injected.length, s"found $found of ${injected.length}")
+  }
+
+  test("language id classifies constructed sentences correctly") {
+    // the documents table's text is English-ish bag-of-words regardless of
+    // its lang label, so langId is validated on real sentences instead
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the cat and the dog ran to the house and it is warm"),
+      ("fr", "le chat et la maison sont dans les champs et il est tard"),
+      ("es", "el perro y los gatos es bonito y las casas son grandes"),
+      ("de", "der hund und die katze ist gross und das haus ist alt"),
+      ("und", "xyzzy plugh qwerty")).toDF("expect", "text")
+    val out = samples.select($"expect", TextOps.langId($"text").as("pred"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    out.foreach { case (e, p) => assert(e == p, s"expected $e got $p") }
+    // and it is deterministic over the documents table
+    val a = docs.select(TextOps.langId($"text")).collect()
+    val b = docs.select(TextOps.langId($"text")).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("quality counts and fingerprint are deterministic") {
+    val a = TextOps.qualityCounts(docs).orderBy("doc_id").collect()
+    val b = TextOps.qualityCounts(docs).orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    val f1 = docs.select(TextOps.fingerprint(col("text"))).collect()
+    val f2 = docs.select(TextOps.fingerprint(col("text"))).collect()
+    assert(f1.sameElements(f2))
+  }
+
+  test("multimodal feature extraction is deterministic and batched") {
+    import spark.implicits._
+    val media = MultimodalOps.mediaFromPages(graft.kg.PagesSource.pages(spark, 50))
+    val f = MultimodalOps.extractFeatures(media).collect().sortBy(_.media_id)
+    val g = MultimodalOps.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f.map(_.media_id).sameElements(g.map(_.media_id)))
+    assert(f.forall(r => r.histogram.sum == r.byte_len))
+    val frames = MultimodalOps.frameSample(media)
+    assert(frames.count() > 0)
+  }
+}

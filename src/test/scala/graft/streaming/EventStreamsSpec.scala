@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+import graft.kg.SparkTestSession
+import EventStreams._
+
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  // keep event times well above the initial watermark (epoch 0): a row whose
+  // event time equals the watermark is dropped as late
+  private def ts(min: Long): Timestamp = new Timestamp((min + 10000) * 60000L)
+
+  test("windowed counts with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = windowedCounts(input.toDF(), "60 minutes", "120 minutes")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(70), 2, "view", 5.0))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n, sum_value FROM wc").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally query.stop()
+  }
+
+  test("native session_window groups by gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = sessionWindows(input.toDF(), "30 minutes", "10 hours")
+      .writeStream.format("memory").queryName("sw")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "a", 1.0),
+        Event(2, ts(10), 1, "a", 1.0), // same session (gap 10m)
+        Event(3, ts(120), 1, "a", 1.0)) // new session (gap 110m)
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, n_events FROM sw").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(rows.toSeq == Seq((1L, 1L), (1L, 2L)))
+    } finally query.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization emits updates and closes on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = statefulSessions(input.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("ss")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "a", 1.0),
+        Event(2, ts(5), 7, "a", 2.0))
+      query.processAllAvailable()
+      // same user far later: in-closure gap split closes the first session
+      input.addData(Event(3, ts(200), 7, "a", 4.0))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT n_events, total_value, closed FROM ss")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+      assert(rows.contains((2L, 3.0, false))) // open session after batch 1
+      assert(rows.contains((2L, 3.0, true))) // closed by gap in batch 2
+      assert(rows.contains((1L, 4.0, false))) // new open session
+    } finally query.stop()
+  }
+
+  test("streaming triple extraction over a pages stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.kg.Model.Page]
+    val query = streamingTriples(input.toDS())
+      .writeStream.format("memory").queryName("st")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(graft.kg.PagesSource.genPage(0), graft.kg.PagesSource.genPage(1))
+      query.processAllAvailable()
+      assert(spark.sql("SELECT * FROM st WHERE error IS NULL").count() > 0)
+    } finally query.stop()
+  }
+}
