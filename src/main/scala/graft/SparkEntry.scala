@@ -45,6 +45,10 @@ object SparkEntry {
       Canonicalize.connectedComponents(
         Canonicalize.sameAsEdges(
           TripleExtraction.run(PagesSource.pages(s, PagesSource.countForSfDir(d)))))),
+    "kg_entity_mentions" -> ((s, d) =>
+      SkewOps.entityMentionCounts(
+        EntityLinking.run(
+          TripleExtraction.run(PagesSource.pages(s, PagesSource.countForSfDir(d)))))),
     "kg_errors" -> ((s, d) =>
       TripleExtraction.run(PagesSource.pages(s, PagesSource.countForSfDir(d)))
         .toDF().filter(col("error").isNotNull)

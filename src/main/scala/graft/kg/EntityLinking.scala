@@ -24,7 +24,7 @@ import Model._
 object EntityLinking {
 
   val NUM_HASHES = 12
-  val BAND_ROWS = 2
+  val BAND_ROWS = 3
   val NUM_BANDS = NUM_HASHES / BAND_ROWS
   val JACCARD_THRESHOLD = 0.35
 
@@ -94,40 +94,58 @@ object EntityLinking {
 
     val dictDf = dict.toDF("dict_surface", "entity_iri")
 
-    // Phase 1: exact normalized match, broadcast hash join.
+    // Phase 1: exact normalized match, broadcast hash join. Cached: the
+    // hit/miss split below reads it twice, and without the cache each branch
+    // re-runs the join (and everything upstream of `mentions`).
     val exact = mentions.toDF()
       .join(broadcast(dictDf), $"norm" === $"dict_surface", "left")
+      .cache()
 
     val hit = exact.filter($"entity_iri".isNotNull)
       .select($"url", $"surface", $"entity_iri", lit("exact").as("method"))
 
     val miss = exact.filter($"entity_iri".isNull)
-      .select($"url", $"surface", $"norm").as[(String, String, String)]
+      .select($"url", $"surface", $"norm")
 
-    // Phase 2: LSH banding for the misses.
-    val missBands = miss.flatMap { case (url, surface, norm) =>
-      bands(minhash(shingles(norm))).iterator.map { case (b, h) =>
-        (url, surface, norm, b, h)
-      }
-    }.toDF("url", "surface", "norm", "band", "bandhash")
+    // Phase 2: LSH near-matching — but per DISTINCT normalized surface, not
+    // per mention occurrence. Candidate generation and Jaccard verification
+    // cost is inherently per-surface-form; running it per occurrence
+    // multiplies the band-collision blowup by corpus size. The distinct-norm
+    // set is vocabulary-shaped (zipf), so this turns an O(mentions ×
+    // collisions) explosion into O(|distinct norms| × collisions).
+    val missNorms = miss.select($"norm").distinct().as[String]
 
-    val dictBands = dict.flatMap { d =>
-      bands(minhash(shingles(d.surface))).iterator.map { case (b, h) =>
-        (d.surface, d.entity_iri, b, h)
+    val normBands = missNorms.flatMap { norm =>
+      bands(minhash(shingles(norm))).iterator.map { case (b, h) => (norm, b, h) }
+    }.toDF("norm", "band", "bandhash")
+
+    // dictionary bands are a pure function of the vocabulary → computed on
+    // the driver, shipped once as a broadcast literal
+    val dictBandsLocal: Seq[(String, String, Int, Long)] =
+      dict.collect().toSeq.flatMap { d =>
+        bands(minhash(shingles(d.surface))).map { case (b, h) =>
+          (d.surface, d.entity_iri, b, h)
+        }
       }
-    }.toDF("dict_surface", "cand_iri", "band", "bandhash")
+    val dictBands = spark.createDataset(dictBandsLocal)
+      .toDF("dict_surface", "cand_iri", "band", "bandhash")
 
     val jac = udf((a: String, b: String) => jaccard(shingles(a), shingles(b)))
 
-    val lsh = missBands
+    // best entity per distinct norm (deterministic: lexicographic max of
+    // (jaccard, entity)); vocabulary-bounded → broadcast back to mentions
+    val bestPerNorm = normBands
       .join(broadcast(dictBands), Seq("band", "bandhash"))
-      .select($"url", $"surface", $"norm", $"dict_surface", $"cand_iri").distinct()
+      .select($"norm", $"dict_surface", $"cand_iri").distinct()
       .withColumn("jaccard", jac($"norm", $"dict_surface"))
       .filter($"jaccard" >= JACCARD_THRESHOLD)
-      .groupBy($"url", $"surface")
-      // deterministic best match: lexicographic max of (jaccard, entity)
+      .groupBy($"norm")
       .agg(max(struct($"jaccard", $"cand_iri")).as("best"))
-      .select($"url", $"surface", $"best.cand_iri".as("entity_iri"),
+      .select($"norm", $"best.cand_iri".as("lsh_iri"))
+
+    val lsh = miss
+      .join(broadcast(bestPerNorm), Seq("norm"))
+      .select($"url", $"surface", $"lsh_iri".as("entity_iri"),
         lit("lsh").as("method"))
 
     hit.unionByName(lsh)

@@ -56,12 +56,14 @@ object KgPipeline {
 
     val lineage = Materialize.write(canonical, outDir)
 
-    val errorCount = triples.filter($"error".isNotNull).count()
-    val tripleCount = triples.filter($"error".isNull).count()
+    // totals come out of the (tiny, already-written) lineage table — one
+    // small collect instead of two extra passes over the triple stream
+    val totals = lineage.agg(sum($"triples"), sum($"errors")).head()
     val linkedCount = linked.count()
-    val componentCount = labels.select($"canonical").distinct().count()
+    val componentCount = labels.agg(countDistinct($"canonical")).head().getLong(0)
 
-    val r = Result(n, tripleCount, errorCount, linkedCount, componentCount, lineage)
+    val r = Result(n, totals.getLong(0), totals.getLong(1), linkedCount,
+      componentCount, lineage)
     triples.unpersist()
     labels.unpersist()
     r

@@ -36,13 +36,26 @@ object Materialize {
     import spark.implicits._
 
     val done: Set[Int] = readManifest(outDir)
-    val withBucket = bucketed(triples)
-    val pending = withBucket.filter(!col("bucket").isin(done.toSeq: _*))
+    // cache: the triple write and the lineage aggregation both consume this;
+    // without it each pass re-runs the whole upstream (canonicalization
+    // joins + parse)
+    val withBucket = bucketed(triples).cache()
+    val pending =
+      if (done.isEmpty) withBucket
+      else withBucket.filter(!col("bucket").isin(done.toSeq: _*))
 
-    val deduped = pending
-      .dropDuplicates("subj", "pred", "obj_kind", "obj_value", "obj_datatype",
-        "obj_lang", "error", "url", "block")
+    // ONE shuffle (on bucket) instead of dropDuplicates' extra exchange:
+    // the dedup key contains subj, subj determines the bucket, so after
+    // repartition(bucket) + sortWithinPartitions duplicates are adjacent
+    // within a partition and removed by a local scan
+    val sorted = pending
       .repartition(col("bucket"))
+      .sortWithinPartitions("subj", "pred", "obj_kind", "obj_value",
+        "obj_datatype", "obj_lang", "error", "url", "block")
+    val deduped = sorted.mapPartitions { it =>
+      var prev: org.apache.spark.sql.Row = null
+      it.filter { r => val keep = r != prev; prev = r; keep }
+    }(org.apache.spark.sql.Encoders.row(sorted.schema))
 
     deduped.write.mode(SaveMode.Append)
       .partitionBy("bucket")
@@ -58,7 +71,8 @@ object Materialize {
       .parquet(s"$outDir/_lineage")
 
     writeManifest(outDir, done ++ (0 until NUM_BUCKETS))
-    lineage
+    withBucket.unpersist()
+    spark.read.parquet(s"$outDir/_lineage")
   }
 
   /** Manifest = commit point. Written to a temp file then atomically renamed. */

@@ -136,16 +136,20 @@ object PagesSource {
     else if (sfDir.contains("0.1")) 50000L
     else 500L
 
-  /** The linking dictionary: all surface variants of all entities
-    * (FIXTURES.md §3) — small by construction, broadcast side of the join. */
-  def dictionary(spark: SparkSession): Dataset[Model.DictEntry] = {
-    import spark.implicits._
-    spark.range(0, NUM_ENTITIES, 1, 4).flatMap { e =>
+  /** The linking dictionary entries: all surface variants of all entities
+    * (FIXTURES.md §3). Vocabulary-sized and a pure function → built on the
+    * driver once (no Spark jobs) and broadcast into the linking joins. */
+  lazy val dictionaryLocal: Seq[Model.DictEntry] =
+    (0 until NUM_ENTITIES).flatMap { e =>
       // the dictionary carries canonical + case variant; punctuation/affix
       // variants are deliberately absent → resolved via the LSH path
-      surfaceVariants(e.toInt).take(2).map(s =>
-        Model.DictEntry(EntityLinking.normalize(s), entityIri(e.toInt)))
-    }.distinct()
+      surfaceVariants(e).take(2)
+        .map(s => Model.DictEntry(EntityLinking.normalize(s), entityIri(e)))
+    }.distinct
+
+  def dictionary(spark: SparkSession): Dataset[Model.DictEntry] = {
+    import spark.implicits._
+    spark.createDataset(dictionaryLocal)
   }
 }
 

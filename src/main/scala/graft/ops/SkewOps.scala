@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit skew handling (north_rule: "partitioning / shuffle / skew handled
+  * explicitly"). AQE's skew-join splitting covers sort-merge paths at
+  * runtime; these utilities handle the cases AQE can't: skewed shuffle joins
+  * where the small side must be replicated, and the general salted-key
+  * pattern for hot aggregation keys.
+  */
+object SkewOps {
+
+  /** Join `big` (skewed on `key`) with `small` by salting: the big side gets
+    * a random-but-deterministic salt in [0, salt), the small side is
+    * replicated `salt` times, and the join key becomes (key, salt). Each hot
+    * key's rows spread over `salt` reducers instead of one.
+    *
+    * Use when `small` is too big to broadcast but tiny relative to `big`
+    * (replication cost = |small| × salt rows). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salt: Int = 8, joinType: String = "inner"): DataFrame = {
+    val bigSalted = big.withColumn("_salt",
+      pmod(xxhash64(struct(big.columns.map(col).toSeq: _*)), lit(salt)).cast("int"))
+    val saltsDf = small.sparkSession.range(0, salt)
+      .select(col("id").cast("int").as("_salt"))
+    val smallSalted = small.crossJoin(saltsDf)
+    bigSalted.join(smallSalted, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  /** Two-phase aggregation for a skewed group key: pre-aggregate on
+    * (key, salt) — spreading each hot key over `salt` partial groups — then
+    * combine. Spark's hash aggregate already does map-side partials; the
+    * explicit salt additionally splits a hot key ACROSS reducers when a
+    * single reducer's final-merge state would be the bottleneck (e.g.
+    * count-distinct-style states, collect-style aggregates). */
+  def saltedCount(df: DataFrame, key: Column, salt: Int = 16): DataFrame = {
+    val pre = df
+      .withColumn("_salt", pmod(xxhash64(rand(42) * 1000000), lit(salt)))
+      .groupBy(key.as("k"), col("_salt"))
+      .agg(count(lit(1)).as("_c"))
+    pre.groupBy(col("k")).agg(sum(col("_c")).as("n"))
+  }
+
+  /** Mention counts per linked entity — the canonical hub-skew aggregation
+    * of the KG pipeline (~20% of mentions hit 5 hub entities). */
+  def entityMentionCounts(linked: DataFrame, salt: Int = 16): DataFrame =
+    saltedCount(linked, col("entity_iri"), salt)
+      .withColumnRenamed("k", "entity_iri")
+}

@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kg.SparkTestSession
+
+class SkewOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("saltedJoin equals plain join on skewed keys") {
+    import spark.implicits._
+    // power-law: key 0 carries 80% of rows
+    val big = spark.range(0, 10000)
+      .select((when($"id" % 5 =!= 0, $"id" % 100).otherwise(0L)).as("k"),
+        $"id".as("v"))
+    val small = spark.range(0, 100).select($"id".as("k"), ($"id" * 10).as("w"))
+    val plain = big.join(small, "k").agg(count(lit(1)), sum($"w")).collect()
+    val salted = SkewOps.saltedJoin(big, small.withColumnRenamed("k", "k"), "k", 8)
+      .agg(count(lit(1)), sum($"w")).collect()
+    assert(plain.sameElements(salted))
+  }
+
+  test("saltedCount equals plain count on a hub-skewed column") {
+    import spark.implicits._
+    val df = spark.range(0, 20000)
+      .select(when($"id" % 5 === 0, lit("hub")).otherwise(concat(lit("e"), $"id" % 50)).as("entity_iri"))
+    val plain = df.groupBy($"entity_iri").agg(count(lit(1)).as("n"))
+      .orderBy($"entity_iri").collect().map(r => (r.getString(0), r.getLong(1)))
+    val salted = SkewOps.entityMentionCounts(df, 16)
+      .orderBy($"entity_iri").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(plain.sameElements(salted))
+  }
+}
