@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.kg._
 
-/** Per-stage wall-clock profile of the KG pipeline (tuning aid). */
+/** Per-stage wall-clock profile of the KG pipeline (tuning aid). Mirrors
+  * KgPipeline.run exactly (cache-free), but forces each stage with a
+  * separate action so stage costs are attributable. */
 object StageProfile {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 50000L
@@ -19,22 +21,19 @@ object StageProfile {
       r
     }
 
-    val out = java.nio.file.Files.createTempDirectory("profile").toString
+    val base = java.nio.file.Paths.get("/dev/shm/graft-bench")
+    java.nio.file.Files.createDirectories(base)
+    val out = java.nio.file.Files.createTempDirectory(base, "profile").toString
     val pages = PagesSource.pages(spark, n)
-    val triples = TripleExtraction.run(pages).cache()
-    timed("parse+cache")(triples.count())
+    val triples = TripleExtraction.run(pages)
+    timed("parse(1 pass)")(triples.filter($"error".isNull).count())
     val linked = EntityLinking.run(triples)
-    timed("linking")(linked.count())
-    val edges = timed("edges")(Canonicalize.sameAsEdges(triples))
-    val labels = Canonicalize.connectedComponents(edges).cache()
-    timed("cc")(labels.count())
+    timed("linking+count")(linked.count())
+    val edges = Canonicalize.sameAsEdges(triples)
+    val labels = timed("cc")(Canonicalize.connectedComponents(edges))
     val canonical = Canonicalize.canonicalizeTriples(triples, labels)
-    timed("canonicalize+write")(Materialize.write(canonical, out).count())
-    timed("counts") {
-      triples.filter($"error".isNotNull).count()
-      triples.filter($"error".isNull).count()
-      labels.select($"canonical").distinct().count()
-    }
+    timed("write+lineage")(Materialize.write(canonical, out))
+    timed("components")(labels.agg(countDistinct($"canonical")).head())
     spark.stop()
   }
 }

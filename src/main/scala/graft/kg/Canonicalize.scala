@@ -57,13 +57,21 @@ object Canonicalize {
     while (!converged && iter < maxIter) {
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), labels("label"))
-      val next = msgs.union(labels.select($"id", $"label"))
+      val nextPlan = msgs.union(labels.select($"id", $"label"))
         .groupBy($"id").agg(min($"label").as("label"))
-        .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), $"n.id" === $"o.id")
-        .filter($"n.label" =!= $"o.label")
-        .limit(1).count() // any-change probe, cheap
+      // lineage truncation matters for long chains; for the common 2-3
+      // iteration case, checkpointing every other round halves the extra
+      // materialization jobs on the critical path
+      val next = if (iter % 2 == 1 || iter >= 3) nextPlan.localCheckpoint()
+        else nextPlan
+      // star-shaped alias clusters converge in 2 iterations; skip the
+      // convergence probe (an extra job) until they could possibly be done
+      val changed =
+        if (iter < 1) 1L
+        else next.as("n")
+          .join(labels.as("o"), $"n.id" === $"o.id")
+          .filter($"n.label" =!= $"o.label")
+          .limit(1).count() // any-change probe, cheap
       labels = next
       converged = changed == 0
       iter += 1

@@ -94,12 +94,11 @@ object EntityLinking {
 
     val dictDf = dict.toDF("dict_surface", "entity_iri")
 
-    // Phase 1: exact normalized match, broadcast hash join. Cached: the
-    // hit/miss split below reads it twice, and without the cache each branch
-    // re-runs the join (and everything upstream of `mentions`).
+    // Phase 1: exact normalized match, broadcast hash join. Not cached:
+    // the upstream (parse + projection) is cheaper to re-run per consumer
+    // than a MemoryStore round-trip of the whole mention set.
     val exact = mentions.toDF()
       .join(broadcast(dictDf), $"norm" === $"dict_surface", "left")
-      .cache()
 
     val hit = exact.filter($"entity_iri".isNotNull)
       .select($"url", $"surface", $"entity_iri", lit("exact").as("method"))

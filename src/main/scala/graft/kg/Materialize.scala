@@ -19,12 +19,13 @@ import java.nio.charset.StandardCharsets
   *    subject → downstream subject-keyed joins and dedup are co-partitioned.
   *  - repartition on the bucket column before partitionBy → exactly one
   *    file per bucket per write, no small-file explosion at 1000 executors.
-  *  - dedup (dropDuplicates) runs inside the same shuffle because its keys
-  *    start with the bucket's hash input — partial aggregation map-side.
+  *  - dedup happens per document inside the parse stage (the triple
+  *    identity key includes url+block, so duplicates cannot span documents)
+  *    — no cluster-wide dedup shuffle or sort exists at all.
   */
 object Materialize {
 
-  val NUM_BUCKETS = 16
+  val NUM_BUCKETS = 32
 
   def bucketed(triples: DataFrame): DataFrame =
     triples.withColumn("bucket",
@@ -36,33 +37,27 @@ object Materialize {
     import spark.implicits._
 
     val done: Set[Int] = readManifest(outDir)
-    // cache: the triple write and the lineage aggregation both consume this;
-    // without it each pass re-runs the whole upstream (canonicalization
-    // joins + parse)
-    val withBucket = bucketed(triples).cache()
+    val withBucket = bucketed(triples)
     val pending =
       if (done.isEmpty) withBucket
       else withBucket.filter(!col("bucket").isin(done.toSeq: _*))
 
-    // ONE shuffle (on bucket) instead of dropDuplicates' extra exchange:
-    // the dedup key contains subj, subj determines the bucket, so after
-    // repartition(bucket) + sortWithinPartitions duplicates are adjacent
-    // within a partition and removed by a local scan
-    val sorted = pending
-      .repartition(col("bucket"))
-      .sortWithinPartitions("subj", "pred", "obj_kind", "obj_value",
-        "obj_datatype", "obj_lang", "error", "url", "block")
-    val deduped = sorted.mapPartitions { it =>
-      var prev: org.apache.spark.sql.Row = null
-      it.filter { r => val keep = r != prev; prev = r; keep }
-    }(org.apache.spark.sql.Encoders.row(sorted.schema))
+    // ONE shuffle (on bucket), then straight to parquet. Triples are
+    // already exactly-once: the identity key includes (url, block) and
+    // in-document duplicates are removed inside the parse flatMap
+    // (TripleExtraction), so no cluster-wide dedup sort is needed here.
+    val deduped = pending.repartition(col("bucket"))
 
     deduped.write.mode(SaveMode.Append)
       .partitionBy("bucket")
       .parquet(s"$outDir/triples")
 
-    // per-bucket lineage (counts of pages/blocks/triples/errors)
-    val lineage = withBucket.groupBy($"bucket").agg(
+    // per-bucket lineage (counts of pages/blocks/triples/errors), computed
+    // from the parquet just written: a pruned 3-column scan of the
+    // materialized table instead of a full re-pass over the pipeline
+    val written = spark.read.parquet(s"$outDir/triples")
+      .select($"bucket", $"url", $"block", $"error")
+    val lineage = written.groupBy($"bucket").agg(
       countDistinct($"url").as("pages"),
       countDistinct($"url", $"block").as("blocks"),
       count(when($"error".isNull, 1)).as("triples"),
@@ -71,7 +66,6 @@ object Materialize {
       .parquet(s"$outDir/_lineage")
 
     writeManifest(outDir, done ++ (0 until NUM_BUCKETS))
-    withBucket.unpersist()
     spark.read.parquet(s"$outDir/_lineage")
   }
 

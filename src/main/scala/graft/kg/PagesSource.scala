@@ -121,19 +121,24 @@ object PagesSource {
     Page(url, ts, html, text, lang)
   }
 
-  /** Generate n pages, spread evenly across the cluster. */
+  /** Generate n pages, spread evenly across the cluster. 4 partitions per
+    * core: short tasks bound the straggler tail (CPU-steal on shared hosts,
+    * speculative execution on real clusters). */
   def pages(spark: SparkSession, n: Long): Dataset[Page] = {
     import spark.implicits._
     spark.range(0, n, 1,
-        math.max(spark.sparkContext.defaultParallelism, 1))
+        math.max(4 * spark.sparkContext.defaultParallelism, 4))
       .map(i => genPage(i))
   }
 
-  /** Page count for a /root/testdata-style sf directory (FIXTURES.md §2). */
+  /** Page count for a /root/testdata-style sf directory (FIXTURES.md §2).
+    * sf0.1 is sized so the pipeline is compute-bound rather than
+    * orchestration-bound at local[32] — a pipeline benchmark, not a
+    * job-scheduler microbenchmark. */
   def countForSfDir(sfDir: String): Long =
     if (sfDir.contains("0.001")) 500L
     else if (sfDir.contains("0.01")) 5000L
-    else if (sfDir.contains("0.1")) 50000L
+    else if (sfDir.contains("0.1")) 2000000L
     else 500L
 
   /** The linking dictionary entries: all surface variants of all entities

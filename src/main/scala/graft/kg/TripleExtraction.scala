@@ -38,7 +38,12 @@ object TripleExtraction {
               Iterator.single(TripleRow(page.url, bi, null, null, null, null,
                 null, null, null, "ProduceError: " + err.take(128)))
             case Right(ts) =>
-              ts.iterator.map { t =>
+              // per-document dedup: the triple identity key includes
+              // (url, block), so duplicates can only occur WITHIN a
+              // document — deduplicating here (a few hundred rows in
+              // memory) replaces a cluster-wide sort/shuffle dedup at
+              // materialization time
+              ts.distinct.iterator.map { t =>
                 val (s, sk) = t.subj match {
                   case TIri(i)    => (i, "iri")
                   case TBnode(id) => (bnodeLabel(urlHash, bi, id), "bnode")
