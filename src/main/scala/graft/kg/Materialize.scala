@@ -42,6 +42,17 @@ object Materialize {
       if (done.isEmpty) withBucket
       else withBucket.filter(!col("bucket").isin(done.toSeq: _*))
 
+    // exactly-once per bucket: a crash between data write and manifest
+    // commit leaves orphan bucket dirs; removing not-yet-committed buckets
+    // before (re)writing makes the retry idempotent
+    (0 until NUM_BUCKETS).filterNot(done).foreach { b =>
+      val dir = Paths.get(outDir, "triples", s"bucket=$b")
+      if (Files.exists(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+      }
+    }
+
     // ONE shuffle (on bucket), then straight to parquet. Triples are
     // already exactly-once: the identity key includes (url, block) and
     // in-document duplicates are removed inside the parse flatMap

@@ -85,6 +85,23 @@ class KgPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels("x") == "x" && labels("y") == "x")
   }
 
+  test("crashed write is idempotent: orphan bucket dirs are replaced on retry") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val triples = Canonicalize.canonicalizeTriples(
+      TripleExtraction.run(PagesSource.pages(spark, 100)),
+      spark.emptyDataFrame.selectExpr("'' as id", "'' as canonical").limit(0))
+    // simulate a crash: data written but manifest missing for 2 buckets
+    Materialize.write(triples, out)
+    val full = Materialize.readTriples(spark, out).count()
+    Materialize.writeManifest(out,
+      (0 until Materialize.NUM_BUCKETS).toSet -- Set(0, 1))
+    // retry: buckets 0 and 1 must be rewritten WITHOUT duplication
+    Materialize.write(triples, out)
+    assert(Materialize.readTriples(spark, out).count() == full)
+    assert(Materialize.readManifest(out) == (0 until Materialize.NUM_BUCKETS).toSet)
+  }
+
   test("full pipeline: run, materialize, manifest, resume") {
     val out = java.nio.file.Files.createTempDirectory("graft-kg").toString
     val r = KgPipeline.run(spark, 300, out)

@@ -1,0 +1,52 @@
+package graft.turtle
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** The P/R gate (BASELINE.md): triples produced from every fixture must
+  * match the frozen golden set with precision and recall >= 0.95 under
+  * bnode-isomorphism-tolerant comparison. Goldens were generated once from
+  * the audited producer (see the hand-derived assertions in
+  * TripleProductionSpec for the audit anchors: example1/2/9/12/13/14/18/22)
+  * and are the frozen contract for all future rounds. */
+class PrecisionRecallSpec extends AnyFunSuite {
+
+  private val goldenDir = {
+    val url = getClass.getResource("/goldens/triples")
+    Paths.get(url.toURI)
+  }
+
+  private val cases = graft.kg.FixtureCorpus.all.flatMap { case (name, text) =>
+    val f = goldenDir.resolve(name.replace('/', '_') + ".tsv")
+    if (Files.exists(f)) Some((name, text, f)) else None
+  }
+
+  test("goldens exist for every producible fixture") {
+    assert(cases.size == 36)
+  }
+
+  private var ps = Vector.empty[Double]
+  private var rs = Vector.empty[Double]
+
+  for ((name, text, golden) <- cases) {
+    test(s"P/R vs golden: $name") {
+      val want = new String(Files.readAllBytes(golden), StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).toVector
+      val got = GoldenTriples.producedLines(text)
+        .fold(e => fail(s"production failed: $e"), identity)
+      val (p, r) = GoldenTriples.precisionRecall(got, want)
+      ps :+= p
+      rs :+= r
+      assert(p >= 0.95 && r >= 0.95, s"P=$p R=$r")
+    }
+  }
+
+  test("aggregate P/R over the corpus >= 0.95 (gate)") {
+    assert(ps.nonEmpty)
+    val mp = ps.sum / ps.size
+    val mr = rs.sum / rs.size
+    info(f"corpus precision=$mp%.4f recall=$mr%.4f over ${ps.size} fixtures")
+    assert(mp >= 0.95 && mr >= 0.95)
+  }
+}
