@@ -138,6 +138,10 @@ object SparkEntry {
       TextOps.qualityCounts(t(s, d, "documents"))
         .select(col("doc_id"), col("n_tokens"), col("n_punct"),
           col("n_upper"), col("n_digits"), col("n_stopwords"))),
+    "text_subwords" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.subwordCount(col("text")).as("n_subwords"))),
     "text_langid" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"),

@@ -94,25 +94,16 @@ object EntityLinking {
 
     val dictDf = dict.toDF("dict_surface", "entity_iri")
 
-    // Phase 1: exact normalized match, broadcast hash join. Not cached:
-    // the upstream (parse + projection) is cheaper to re-run per consumer
-    // than a MemoryStore round-trip of the whole mention set.
-    val exact = mentions.toDF()
-      .join(broadcast(dictDf), $"norm" === $"dict_surface", "left")
-
-    val hit = exact.filter($"entity_iri".isNotNull)
-      .select($"url", $"surface", $"entity_iri", lit("exact").as("method"))
-
-    val miss = exact.filter($"entity_iri".isNull)
-      .select($"url", $"surface", $"norm")
-
-    // Phase 2: LSH near-matching — but per DISTINCT normalized surface, not
-    // per mention occurrence. Candidate generation and Jaccard verification
+    // LSH near-matching runs per DISTINCT normalized surface, not per
+    // mention occurrence. Candidate generation and Jaccard verification
     // cost is inherently per-surface-form; running it per occurrence
     // multiplies the band-collision blowup by corpus size. The distinct-norm
     // set is vocabulary-shaped (zipf), so this turns an O(mentions ×
     // collisions) explosion into O(|distinct norms| × collisions).
-    val missNorms = miss.select($"norm").distinct().as[String]
+    // distinct() partial-aggregates map-side: one cheap pass.
+    val missNorms = mentions.toDF().select($"norm").distinct()
+      .join(broadcast(dictDf), $"norm" === $"dict_surface", "left_anti")
+      .as[String]
 
     val normBands = missNorms.flatMap { norm =>
       bands(minhash(shingles(norm))).iterator.map { case (b, h) => (norm, b, h) }
@@ -142,12 +133,17 @@ object EntityLinking {
       .agg(max(struct($"jaccard", $"cand_iri")).as("best"))
       .select($"norm", $"best.cand_iri".as("lsh_iri"))
 
-    val lsh = miss
-      .join(broadcast(bestPerNorm), Seq("norm"))
-      .select($"url", $"surface", $"lsh_iri".as("entity_iri"),
-        lit("lsh").as("method"))
-
-    hit.unionByName(lsh)
+    // ONE pass over the mention stream: both the exact dictionary and the
+    // per-norm LSH matches are broadcast lookups, resolved with coalesce —
+    // no union of separately-recomputed branches, no mention-side shuffle.
+    mentions.toDF()
+      .join(broadcast(dictDf), $"norm" === $"dict_surface", "left")
+      .join(broadcast(bestPerNorm), Seq("norm"), "left")
+      .filter($"entity_iri".isNotNull || $"lsh_iri".isNotNull)
+      .select($"url", $"surface",
+        coalesce($"entity_iri", $"lsh_iri").as("entity_iri"),
+        when($"entity_iri".isNotNull, lit("exact")).otherwise(lit("lsh"))
+          .as("method"))
   }
 
   /** End-to-end: triples → linked mentions. */
