@@ -49,6 +49,14 @@ object SparkEntry {
       SkewOps.entityMentionCounts(
         EntityLinking.run(
           TripleExtraction.run(PagesSource.pages(s, PagesSource.countForSfDir(d)))))),
+    "kg_triples_sql" -> ((s, d) => {
+      // the custom-Catalyst path: parse_turtle_triples Generator via SQL
+      graft.functions.GraftFunctions.register(s)
+      PagesSource.pages(s, math.min(PagesSource.countForSfDir(d), 5000))
+        .createOrReplaceTempView("graft_pages")
+      s.sql("""SELECT url, t.* FROM graft_pages
+             LATERAL VIEW parse_turtle_triples(text, url) t""")
+    }),
     "kg_errors" -> ((s, d) =>
       TripleExtraction.run(PagesSource.pages(s, PagesSource.countForSfDir(d)))
         .toDF().filter(col("error").isNotNull)
