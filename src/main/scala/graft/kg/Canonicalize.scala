@@ -25,13 +25,15 @@ import Model.TripleRow
   */
 object Canonicalize {
 
-  /** sameAs edges from the triple stream (iri ↔ iri). */
+  /** sameAs edges from the triple stream (iri ↔ iri). Column-level filter
+    * and projection so the scan over the staged parquet is pruned and the
+    * predicates are pushed down. */
   def sameAsEdges(triples: Dataset[TripleRow]): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
-    triples
-      .filter(t => t.error == null && t.pred == PagesSource.SAME_AS &&
-        t.obj_kind == "iri" && t.subj_kind == "iri")
+    triples.toDF()
+      .filter($"error".isNull && $"pred" === PagesSource.SAME_AS &&
+        $"obj_kind" === "iri" && $"subj_kind" === "iri")
       .select($"subj".as("src"), $"obj_value".as("dst"))
       .distinct()
   }

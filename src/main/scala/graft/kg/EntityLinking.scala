@@ -76,14 +76,18 @@ object EntityLinking {
   }
 
   /** Detect mentions in the triple stream: literal objects of the mention
-    * predicate. Pure projection — no shuffle. */
+    * predicate. Pure projection, no shuffle — and expressed as column ops
+    * BEFORE the typed map so filter/projection push down to the (parquet)
+    * triple source; the typed map runs on two pruned columns only. */
   def mentions(triples: Dataset[TripleRow]): Dataset[Mention] = {
     val spark = triples.sparkSession
     import spark.implicits._
-    triples
-      .filter(t => t.error == null && t.pred == PagesSource.MENTIONS_PRED &&
-        t.obj_kind == "literal")
-      .map(t => Mention(t.url, t.obj_value, normalize(t.obj_value)))
+    triples.toDF()
+      .filter($"error".isNull && $"pred" === PagesSource.MENTIONS_PRED &&
+        $"obj_kind" === "literal")
+      .select($"url", $"obj_value")
+      .as[(String, String)]
+      .map { case (url, sv) => Mention(url, sv, normalize(sv)) }
   }
 
   /** Link mentions against the dictionary. Returns one row per mention that

@@ -50,10 +50,16 @@ object KgPipeline {
 
     val pages: Dataset[Page] = PagesSource.pages(spark, n)
 
-    // NOT cached: parse+produce is cheap and embarrassingly parallel; at
-    // high parallelism re-running it for each consumer is faster than
-    // pushing 10^6 rows through the lock-contended MemoryStore (measured:
-    // cache write ~4s vs re-parse ~0.5s at local[32], 200k pages)
+    // Downstream consumers re-run the parse per pass, deliberately:
+    //  - .cache() is slower at high parallelism (MemoryStore writes
+    //    serialize under 32 concurrent tasks — measured slower than
+    //    local[8]);
+    //  - parquet staging (write once, read per consumer) was also measured
+    //    slower at this corpus shape: one parse pass costs ~1.7s at
+    //    local[32] vs a 10.5M-row staging write + four reads. For corpora
+    //    where parse dominates IO (heavier documents), stage to parquet
+    //    here instead — the recovery-boundary structure is in
+    //    Materialize.write already.
     val triples: Dataset[TripleRow] = TripleExtraction.run(pages)
 
     val linked = EntityLinking.run(triples)

@@ -59,8 +59,14 @@ object TurtleParser {
   // Parse result: Some((node, nextPos)) or None with no input consumed.
   private type R[+T] = Option[(T, Int)]
 
+  /** Max nesting depth of objects (collections / BNPLs). A crawled document
+    * with pathological nesting must yield a parse failure (an error row at
+    * the pipeline level), never a StackOverflowError that kills the task. */
+  val MAX_DEPTH = 512
+
   private final class Parser(val in: String) {
     private val n = in.length
+    private var depth = 0
 
     // ---- lexical helpers -------------------------------------------------
 
@@ -358,15 +364,23 @@ object TurtleParser {
       if (count == 0) None else Some((ObjectList(items.result()), cur))
     }
 
-    /** alt(BlankNode, IRI, Collection, BNPL, Literal) (lib.rs:624-631) */
-    def obj(pos: Int): R[Obj] =
-      blankNode(pos).map { case (b, p) => (ObjBlankNode(b): Obj, p) }
-        .orElse(iri(pos).map { case (i, p) => (ObjIri(i): Obj, p) })
-        .orElse(collection(pos).map { case (c, p) => (ObjCollection(c): Obj, p) })
-        .orElse(blankNodePropertyList(pos).map { case (b, p) =>
-          (ObjBnpl(b): Obj, p)
-        })
-        .orElse(literal(pos).map { case (l, p) => (ObjLiteral(l): Obj, p) })
+    /** alt(BlankNode, IRI, Collection, BNPL, Literal) (lib.rs:624-631).
+      * Depth-guarded: beyond MAX_DEPTH the object fails to parse, which
+      * surfaces as NotFullyParsed for the document. */
+    def obj(pos: Int): R[Obj] = {
+      if (depth >= MAX_DEPTH) return None
+      depth += 1
+      val r =
+        blankNode(pos).map { case (b, p) => (ObjBlankNode(b): Obj, p) }
+          .orElse(iri(pos).map { case (i, p) => (ObjIri(i): Obj, p) })
+          .orElse(collection(pos).map { case (c, p) => (ObjCollection(c): Obj, p) })
+          .orElse(blankNodePropertyList(pos).map { case (b, p) =>
+            (ObjBnpl(b): Obj, p)
+          })
+          .orElse(literal(pos).map { case (l, p) => (ObjLiteral(l): Obj, p) })
+      depth -= 1
+      r
+    }
 
     /** '(' (ws? Object ws?)* ')' (lib.rs:661-677) */
     def collection(pos: Int): R[Collection] = {
