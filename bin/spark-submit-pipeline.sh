@@ -9,7 +9,7 @@ PAGES="${1:?numPages}"
 OUT="${2:?outDir}"
 MASTER="${3:-local[32]}"
 sbt -batch package
-JAR=$(ls target/scala-2.13/harrietspark_2.13-*.jar | head -1)
+JAR=$(ls target/scala-2.13/harrietspark_2.13-*.jar | grep -v tests | head -1)
 exec spark-submit \
   --master "$MASTER" \
   --class graft.PipelineMain \

@@ -170,6 +170,19 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) =>
       SimilarityOps.embeddingDedup(embCorpus(s, d), 0.95)),
 
+    "curate_corpus" -> ((s, d) => {
+      // end-to-end curation: quality-filter -> exact-dedup keepers -> tag
+      val q = TextOps.qualityCounts(t(s, d, "documents"))
+        .filter(col("n_tokens") >= 10 &&
+          col("n_punct") * 5 <= col("n_tokens") &&
+          col("n_digits") * 2 <= col("n_tokens"))
+      val keepers = q.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      q.join(keepers, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_stopwords"))
+    }),
+
     // --- training-data ops: similarity search ---
     "ann_brute_topk" -> ((s, d) =>
       SimilarityOps.bruteForceTopK(t(s, d, "embeddings"), 8, 10)),
@@ -295,6 +308,20 @@ object SparkEntry {
          len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
            x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as')))::BIGINT AS n_stopwords
          FROM documents""",
+    "curate_corpus" ->
+      """WITH q AS (
+           SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tokens,
+             (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT AS n_punct,
+             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digits,
+             len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+               x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as')))::BIGINT AS n_stopwords
+           FROM documents),
+         f AS (SELECT * FROM q WHERE n_tokens >= 10
+               AND n_punct * 5 <= n_tokens AND n_digits * 2 <= n_tokens),
+         keepers AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text)
+         SELECT f.doc_id, n_tokens, n_stopwords FROM f JOIN keepers USING (doc_id)""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_dups
          FROM (SELECT doc_id, text FROM documents
