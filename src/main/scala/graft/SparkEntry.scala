@@ -57,6 +57,20 @@ object SparkEntry {
       s.sql("""SELECT url, t.* FROM graft_pages
              LATERAL VIEW parse_turtle_triples(text, url) t""")
     }),
+    "kg_turtle_source" -> ((s, d) => {
+      // the V2 file source: materialize the fixture corpus as .ttl files
+      // once, then spark.read.format("turtle")
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-ttl-corpus")
+      if (!java.nio.file.Files.isDirectory(dir)) {
+        java.nio.file.Files.createDirectories(dir)
+        graft.kg.FixtureCorpus.all.foreach { case (name, text) =>
+          java.nio.file.Files.write(dir.resolve(name.replace('/', '_')),
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+      s.read.format("turtle").load(dir.toString)
+    }),
     "kg_errors" -> ((s, d) =>
       TripleExtraction.run(PagesSource.pages(s, PagesSource.countForSfDir(d)))
         .toDF().filter(col("error").isNotNull)

@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import graft.turtle.{TurtleParser, TripleProducer}
+import graft.turtle.TripleProducer.{TIri, TBnode, TLit}
+
+/** DataSource V2 reader for Turtle documents:
+  * `spark.read.format("turtle").load("/path/to/dir-or-file.ttl")` yields one
+  * row per produced RDF triple (plus error rows for malformed documents),
+  * with the source file as provenance.
+  *
+  * One input partition per file — a Turtle document is the indivisible parse
+  * unit (the grammar's prefix/base directives are document-scoped, so a file
+  * cannot be split). For corpora of many files this parallelizes across the
+  * cluster like any file source.
+  */
+class TurtleDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "turtle"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TurtleDataSource.SCHEMA
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new TurtleTable(properties.asScala.getOrElse("path",
+      throw new IllegalArgumentException("turtle source requires a path")))
+}
+
+object TurtleDataSource {
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("file", StringType),
+    StructField("subj", StringType),
+    StructField("subj_kind", StringType),
+    StructField("pred", StringType),
+    StructField("obj_kind", StringType),
+    StructField("obj_value", StringType),
+    StructField("obj_datatype", StringType),
+    StructField("obj_lang", StringType),
+    StructField("error", StringType)))
+
+  def listTtlFiles(root: String): Seq[String] = {
+    val p = Paths.get(root)
+    if (Files.isRegularFile(p)) Seq(p.toString)
+    else if (Files.isDirectory(p))
+      Files.walk(p).iterator().asScala
+        .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".ttl"))
+        .map(_.toString).toSeq.sorted
+    else Seq.empty
+  }
+}
+
+private class TurtleTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"turtle($path)"
+  override def schema(): StructType = TurtleDataSource.SCHEMA
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TurtleScanBuilder(path)
+}
+
+private class TurtleScanBuilder(path: String) extends ScanBuilder {
+  override def build(): Scan = new TurtleScan(path)
+}
+
+private class TurtleScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = TurtleDataSource.SCHEMA
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    TurtleDataSource.listTtlFiles(path)
+      .map(f => TurtleFilePartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TurtleReaderFactory
+}
+
+private case class TurtleFilePartition(file: String) extends InputPartition
+
+private class TurtleReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TurtleFileReader(partition.asInstanceOf[TurtleFilePartition].file)
+}
+
+private class TurtleFileReader(file: String) extends PartitionReader[InternalRow] {
+  private def u(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  private val rows: Iterator[InternalRow] = {
+    val text = new String(Files.readAllBytes(Paths.get(file)), StandardCharsets.UTF_8)
+    val fileHash = graft.kg.PagesSource.fnv64(file)
+    def bn(id: Int): String =
+      "_:h" + java.lang.Long.toHexString(fileHash) + "_" + id
+    def errRow(msg: String): InternalRow =
+      new GenericInternalRow(Array[Any](u(file), null, null, null, null, null,
+        null, null, u(msg)))
+    TurtleParser.parseFull(text) match {
+      case Left(TurtleParser.NotFullyParsed(rest)) =>
+        Iterator.single(errRow("NotFullyParsed: " + rest.take(64)))
+      case Left(e) => Iterator.single(errRow(e.toString.take(128)))
+      case Right(doc) =>
+        TripleProducer.produce(doc) match {
+          case Left(err) => Iterator.single(errRow("ProduceError: " + err.take(128)))
+          case Right(ts) =>
+            ts.distinct.iterator.map { tr =>
+              val (s, sk) = tr.subj match {
+                case TIri(i)    => (i, "iri")
+                case TBnode(id) => (bn(id), "bnode")
+                case _          => (null, null)
+              }
+              val (ok, ov, od, ol) = tr.obj match {
+                case TIri(i)       => ("iri", i, null, null)
+                case TBnode(id)    => ("bnode", bn(id), null, null)
+                case TLit(l, d, g) => ("literal", l, d.orNull, g.orNull)
+              }
+              new GenericInternalRow(Array[Any](u(file), u(s), u(sk),
+                u(tr.pred), u(ok), u(ov), u(od), u(ol), null))
+            }
+        }
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
