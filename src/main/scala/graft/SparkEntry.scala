@@ -168,6 +168,8 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           TextOps.langId(col("text")).as("lang_pred"))),
+    "text_winnow" -> ((s, d) =>
+      TextOps.winnowFingerprints(t(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),

@@ -68,11 +68,61 @@ object TextOps {
     when(best.getField("s") > 0, best.getField("c")).otherwise(lit("und"))
   }
 
-  /** 64-bit rolling-hash document fingerprint (polynomial hash over
-    * normalized tokens) — deterministic content id for lineage/dedup. */
+  /** 64-bit document fingerprint (hash of the normalized token stream) —
+    * deterministic content id for lineage/exact dedup. */
   def fingerprint(text: Column): Column = {
     // xxhash64 of the normalized token stream: cheap, codegen'd, stable
     xxhash64(concat_ws(" ",
       filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)))
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): rolling
+    * polynomial hash over character k-grams, then the minimum hash of each
+    * sliding window of `w` k-gram hashes (rightmost-min tie-break). The
+    * selected set is a position-robust signature: shared substrings of
+    * length >= w+k-1 guarantee shared fingerprints — the standard
+    * plagiarism/near-dup primitive at corpus scale. */
+  def winnow(text: String, k: Int = 8, w: Int = 16): Array[Long] = {
+    val s = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    if (s.length < k) return Array(graft.kg.PagesSource.fnv64(s))
+    val B = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    val n = s.length - k + 1
+    val hs = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      hs(i) = h
+      i += 1
+    }
+    if (n <= w) return Array(hs.min)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var last = -1
+    i = 0
+    while (i + w <= n) {
+      var minIdx = i
+      var j = i + 1
+      while (j < i + w) { if (hs(j) <= hs(minIdx)) minIdx = j; j += 1 }
+      if (minIdx != last) { out += hs(minIdx); last = minIdx }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Winnowing fingerprints per document: (doc_id, fingerprint) rows —
+    * join-ready for containment/near-dup detection. */
+  def winnowFingerprints(documents: DataFrame, k: Int = 8, w: Int = 16): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => winnow(t, k, w).iterator.map(f => (id, f)) }
+      .toDF("doc_id", "fp")
   }
 }

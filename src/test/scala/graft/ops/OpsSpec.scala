@@ -105,6 +105,20 @@ class OpsSpec extends AnyFunSuite {
     assert(f1.sameElements(f2))
   }
 
+  test("winnowing: shared long substrings share fingerprints") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b = "INTRO " + a + " OUTRO padding text here"
+    val fa = TextOps.winnow(a).toSet
+    val fb = TextOps.winnow(b).toSet
+    assert(fa.intersect(fb).nonEmpty) // guaranteed for substrings >= w+k-1
+    val c = "completely different content with no overlap whatsoever in words"
+    assert(TextOps.winnow(c).toSet.intersect(fa).isEmpty)
+    // deterministic + distributed shape
+    val df = TextOps.winnowFingerprints(docs)
+    assert(df.count() == TextOps.winnowFingerprints(docs).count())
+    assert(df.count() > docs.count()) // multiple fingerprints per doc
+  }
+
   test("multimodal feature extraction is deterministic and batched") {
     import spark.implicits._
     val media = MultimodalOps.mediaFromPages(graft.kg.PagesSource.pages(spark, 50))
