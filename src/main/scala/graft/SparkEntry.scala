@@ -135,6 +135,11 @@ object SparkEntry {
         t(s, d, "orders").filter(col("o_totalprice") > 400000),
         col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))),
+    "q11_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(dec(col("l_quantity"))) * 1000000).cast("long").as("sum_qty_micro"))),
     "q10_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
@@ -175,6 +180,13 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
     // --- training-data ops: dedup ---
+    "dedup_group_signature" -> ((s, d) => {
+      // custom typed Aggregator: per-source MinHash signature (mergeable
+      // sketch, map-side partial aggregation)
+      val sig = udaf(graft.ops.MinHashAggregator)
+      t(s, d, "documents").groupBy(col("source"))
+        .agg(sig(col("text")).as("signature"))
+    }),
     "dedup_exact" -> ((s, d) =>
       DedupOps.exactDedup(dupCorpus(s, d, perturb = false))),
     "dedup_minhash" -> ((s, d) =>
@@ -309,6 +321,10 @@ object SparkEntry {
          SELECT user_id, session_id, count(*) AS n_events,
            CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec
          FROM sess GROUP BY user_id, session_id""",
+    "q11_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS sum_qty_micro
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "text_tokens" ->
       """SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0
