@@ -17,7 +17,9 @@ import graft.kg.{KgPipeline, PagesSource}
 object Bench {
 
   private def runPipeline(cpus: Int, n: Long): (Double, Long) = {
-    val spark = KgPipeline.session(s"local[$cpus]", cpus)
+    // 2x shuffle partitions per core: two task waves per stage bound the
+    // straggler tail (AQE still coalesces small shuffles)
+    val spark = KgPipeline.session(s"local[$cpus]", 2 * cpus)
     spark.sparkContext.setLogLevel("WARN")
     // parquet output on tmpfs: measures the engine, not the overlay fs
     val base = java.nio.file.Paths.get("/dev/shm/graft-bench")
