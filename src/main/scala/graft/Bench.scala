@@ -63,11 +63,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val skip = Set("kg_link", "kg_canonical", "kg_roundtrip", "kg_errors",
       "kg_pred_counts") // pipeline e2e already covers these stages
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (k, _) => skip(k) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     spark.stop()
@@ -81,6 +86,7 @@ object Bench {
         s""","pipeline":{"pages":$n,"triples":$trHigh""" +
         s""","cpus_low":$cpusLow,"secs_low":${f(tLow)},"triples_per_sec_low":${f(thrLow)}""" +
         s""","cpus_high":$cpusHigh,"secs_high":${f(tHigh)},"triples_per_sec_high":${f(thrHigh)}""" +
-        s""","scaling_efficiency":${f(eff)}}}""")
+        s""","scaling_efficiency":${f(eff)}}""" +
+        s""","query_errors":[${failed.map("\"" + _ + "\"").mkString(",")}]}""")
   }
 }

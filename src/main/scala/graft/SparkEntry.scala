@@ -62,9 +62,16 @@ object SparkEntry {
       // once, then spark.read.format("turtle")
       val dir = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft-ttl-corpus")
-      if (!java.nio.file.Files.isDirectory(dir)) {
+      val expected = graft.kg.FixtureCorpus.all
+      // (re)write unless the directory holds exactly the current corpus —
+      // a stale or partially-written dir must not be silently reused
+      val complete = java.nio.file.Files.isDirectory(dir) && {
+        val ls = java.nio.file.Files.list(dir)
+        try ls.count() == expected.size finally ls.close()
+      }
+      if (!complete) {
         java.nio.file.Files.createDirectories(dir)
-        graft.kg.FixtureCorpus.all.foreach { case (name, text) =>
+        expected.foreach { case (name, text) =>
           java.nio.file.Files.write(dir.resolve(name.replace('/', '_')),
             text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }

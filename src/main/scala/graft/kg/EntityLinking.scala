@@ -29,51 +29,25 @@ object EntityLinking {
   val JACCARD_THRESHOLD = 0.35
 
   def normalize(s: String): String =
-    s.toLowerCase.map(c => if (c.isLetterOrDigit) c else ' ')
+    s.toLowerCase(java.util.Locale.ROOT)
+      .map(c => if (c.isLetterOrDigit) c else ' ')
       .split("\\s+").filter(_.nonEmpty).mkString(" ")
 
-  def shingles(norm: String, k: Int = 3): Array[String] = {
-    val padded = if (norm.length < k) norm else norm
-    if (padded.length <= k) Array(padded)
-    else Array.tabulate(padded.length - k + 1)(i => padded.substring(i, i + k))
-  }
+  def shingles(norm: String, k: Int = 3): Array[String] =
+    // short norms hash as a single whole-string shingle
+    if (norm.length <= k) Array(norm)
+    else Array.tabulate(norm.length - k + 1)(i => norm.substring(i, i + k))
 
-  /** MinHash signature: min over shingles of h_i(s), h_i = mix64(fnv(s)^seed_i). */
-  def minhash(sh: Array[String]): Array[Long] = {
-    val sig = Array.fill(NUM_HASHES)(Long.MaxValue)
-    var i = 0
-    while (i < sh.length) {
-      val base = PagesSource.fnv64(sh(i))
-      var h = 0
-      while (h < NUM_HASHES) {
-        val v = PagesSource.mix64(base ^ (h * 0x9E3779B97F4A7C15L))
-        if (v < sig(h)) sig(h) = v
-        h += 1
-      }
-      i += 1
-    }
-    sig
-  }
+  /** MinHash / banding / Jaccard shared with DedupOps (same math, linking
+    * widths: 12 hashes x 3-row bands). */
+  def minhash(sh: Array[String]): Array[Long] =
+    graft.ops.DedupOps.minhashSig(sh, NUM_HASHES)
 
-  /** (bandId, bandHash) keys for LSH blocking. */
   def bands(sig: Array[Long]): Array[(Int, Long)] =
-    Array.tabulate(NUM_BANDS) { b =>
-      var h = 0xCBF29CE484222325L
-      var r = 0
-      while (r < BAND_ROWS) {
-        h = (h ^ sig(b * BAND_ROWS + r)) * 0x100000001B3L
-        r += 1
-      }
-      (b, h)
-    }
+    graft.ops.DedupOps.bandKeys(sig, NUM_BANDS, BAND_ROWS)
 
-  def jaccard(a: Array[String], b: Array[String]): Double = {
-    val sa = a.toSet
-    val sb = b.toSet
-    val inter = sa.intersect(sb).size
-    val union = sa.size + sb.size - inter
-    if (union == 0) 0.0 else inter.toDouble / union
-  }
+  def jaccard(a: Array[String], b: Array[String]): Double =
+    graft.ops.DedupOps.jaccardSets(a, b)
 
   /** Detect mentions in the triple stream: literal objects of the mention
     * predicate. Pure projection, no shuffle — and expressed as column ops

@@ -85,8 +85,9 @@ object KgPipeline {
     // totals come out of the (tiny, already-written) lineage table — one
     // small collect instead of two extra passes over the triple stream
     val totals = lineage.agg(sum($"triples"), sum($"errors")).head()
+    def lng(i: Int): Long = if (totals.isNullAt(i)) 0L else totals.getLong(i)
 
-    Result(n, totals.getLong(0), totals.getLong(1),
+    Result(n, lng(0), lng(1),
       Await.result(linkedCountF, Duration.Inf),
       Await.result(componentsF, Duration.Inf), lineage)
   }

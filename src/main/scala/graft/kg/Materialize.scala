@@ -48,8 +48,10 @@ object Materialize {
     (0 until NUM_BUCKETS).filterNot(done).foreach { b =>
       val dir = Paths.get(outDir, "triples", s"bucket=$b")
       if (Files.exists(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        val walk = Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => { Files.deleteIfExists(p); () })
+        finally walk.close()
       }
     }
 
@@ -66,7 +68,10 @@ object Materialize {
     // per-bucket lineage (counts of pages/blocks/triples/errors), computed
     // from the parquet just written: a pruned 3-column scan of the
     // materialized table instead of a full re-pass over the pipeline
-    val written = spark.read.parquet(s"$outDir/triples")
+    // schema given explicitly so an empty write (zero input rows) still
+    // reads back as an empty frame instead of failing schema inference
+    val written = spark.read.schema(withBucket.schema)
+      .parquet(s"$outDir/triples")
       .select($"bucket", $"url", $"block", $"error")
     val lineage = written.groupBy($"bucket").agg(
       countDistinct($"url").as("pages"),

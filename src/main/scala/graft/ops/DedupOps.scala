@@ -29,18 +29,23 @@ object DedupOps {
   val NUM_BANDS = NUM_HASHES / BAND_ROWS
 
   def wordShingles(text: String, k: Int = 3): Array[String] = {
-    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
     if (toks.length <= k) Array(toks.mkString(" "))
     else Array.tabulate(toks.length - k + 1)(i => toks.slice(i, i + k).mkString(" "))
   }
 
-  def minhashSig(sh: Array[String]): Array[Long] = {
-    val sig = Array.fill(NUM_HASHES)(Long.MaxValue)
+  def minhashSig(sh: Array[String]): Array[Long] = minhashSig(sh, NUM_HASHES)
+
+  /** MinHash signature: min over shingles of h_i(s), h_i = mix64(fnv(s)^seed_i).
+    * Shared by document dedup and entity-linking LSH (different widths). */
+  def minhashSig(sh: Array[String], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < sh.length) {
       val base = fnv64(sh(i))
       var h = 0
-      while (h < NUM_HASHES) {
+      while (h < numHashes) {
         val v = mix64(base ^ (h * 0x9E3779B97F4A7C15L))
         if (v < sig(h)) sig(h) = v
         h += 1
@@ -48,6 +53,27 @@ object DedupOps {
       i += 1
     }
     sig
+  }
+
+  /** (bandId, FNV-folded band hash) LSH blocking keys for a signature. */
+  def bandKeys(sig: Array[Long], numBands: Int, bandRows: Int): Array[(Int, Long)] =
+    Array.tabulate(numBands) { b =>
+      var h = 0xCBF29CE484222325L
+      var r = 0
+      while (r < bandRows) {
+        h = (h ^ sig(b * bandRows + r)) * 0x100000001B3L
+        r += 1
+      }
+      (b, h)
+    }
+
+  /** Exact Jaccard of two shingle sets. */
+  def jaccardSets(a: Array[String], b: Array[String]): Double = {
+    val sa = a.toSet
+    val sb = b.toSet
+    val inter = sa.intersect(sb).size
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
   }
 
   /** Near-duplicate pairs via MinHash banding, verified with exact n-gram
@@ -60,12 +86,7 @@ object DedupOps {
     val docs = documents.select($"doc_id".cast("long"), $"text").as[(Long, String)]
     val bandsDs = docs.flatMap { case (id, text) =>
       val sig = minhashSig(wordShingles(text))
-      (0 until NUM_BANDS).iterator.map { b =>
-        var h = 0xCBF29CE484222325L
-        var r = 0
-        while (r < BAND_ROWS) { h = (h ^ sig(b * BAND_ROWS + r)) * 0x100000001B3L; r += 1 }
-        (id, b, h)
-      }
+      bandKeys(sig, NUM_BANDS, BAND_ROWS).iterator.map { case (b, h) => (id, b, h) }
     }.toDF("doc_id", "band", "bandhash")
 
     val cand = bandsDs.as("l").join(bandsDs.as("r"),
@@ -86,11 +107,7 @@ object DedupOps {
       .join(texts.withColumnRenamed("doc_id", "b").withColumnRenamed("text", "tb"), "b")
       .as[(Long, Long, String, String)]
     joined.map { case (b, a, ta, tb) =>
-      val sa = wordShingles(ta).toSet
-      val sb = wordShingles(tb).toSet
-      val inter = sa.intersect(sb).size
-      val union = sa.size + sb.size - inter
-      val j = if (union == 0) 0.0 else inter.toDouble / union
+      val j = jaccardSets(wordShingles(ta), wordShingles(tb))
       (a, b, (j * 100).toLong)
     }.toDF("a", "b", "jacc_pct")
       .filter($"jacc_pct" >= (threshold * 100).toLong)
@@ -99,7 +116,8 @@ object DedupOps {
   // ---- SimHash -----------------------------------------------------------
 
   def simhash64(text: String): Long = {
-    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
     val acc = new Array[Int](64)
     var i = 0
     while (i < toks.length) {

@@ -83,7 +83,8 @@ object TextOps {
     * length >= w+k-1 guarantee shared fingerprints — the standard
     * plagiarism/near-dup primitive at corpus scale. */
   def winnow(text: String, k: Int = 8, w: Int = 16): Array[Long] = {
-    val s = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    val s = text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9]+", " ").trim
     if (s.length < k) return Array(graft.kg.PagesSource.fnv64(s))
     val B = 1000003L
     var pow = 1L

@@ -11,7 +11,6 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
 import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
@@ -52,14 +51,27 @@ object TurtleDataSource {
     StructField("obj_lang", StringType),
     StructField("error", StringType)))
 
+  /** List .ttl files via the Hadoop FileSystem API so the source works on
+    * any Spark-supported filesystem (local, HDFS, S3A, ...), not just the
+    * driver's local disk. */
   def listTtlFiles(root: String): Seq[String] = {
-    val p = Paths.get(root)
-    if (Files.isRegularFile(p)) Seq(p.toString)
-    else if (Files.isDirectory(p))
-      Files.walk(p).iterator().asScala
-        .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".ttl"))
-        .map(_.toString).toSeq.sorted
-    else Seq.empty
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) return Seq.empty
+    val status = fs.getFileStatus(path)
+    if (status.isFile) Seq(path.toString)
+    else {
+      val out = Vector.newBuilder[String]
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".ttl"))
+          out += f.getPath.toString
+      }
+      out.result().sorted
+    }
   }
 }
 
@@ -98,7 +110,20 @@ private class TurtleFileReader(file: String) extends PartitionReader[InternalRow
     if (s == null) null else UTF8String.fromString(s)
 
   private val rows: Iterator[InternalRow] = {
-    val text = new String(Files.readAllBytes(Paths.get(file)), StandardCharsets.UTF_8)
+    // executor-side read through the Hadoop FS API (new Configuration picks
+    // up the cluster's core-site/hdfs-site from the classpath)
+    val path = new org.apache.hadoop.fs.Path(file)
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val text = {
+      val in = fs.open(path)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](64 * 1024)
+        var nRead = in.read(tmp)
+        while (nRead >= 0) { buf.write(tmp, 0, nRead); nRead = in.read(tmp) }
+        new String(buf.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+    }
     val fileHash = graft.kg.PagesSource.fnv64(file)
     def bn(id: Int): String =
       "_:h" + java.lang.Long.toHexString(fileHash) + "_" + id

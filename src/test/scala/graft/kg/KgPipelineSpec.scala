@@ -38,8 +38,8 @@ class KgPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ok = t1.filter(_.error == null)
     val err = t1.filter(_.error != null)
     assert(ok.nonEmpty && err.nonEmpty)
-    assert(err.forall(_.error.startsWith("NotFullyParsed") ||
-      err.forall(_.error.startsWith("ProduceError"))))
+    assert(err.forall(e => e.error.startsWith("NotFullyParsed") ||
+      e.error.startsWith("ProduceError")))
     // blank node labels are globally unique per (url, block)
     val bnodes = ok.filter(_.subj_kind == "bnode").map(_.subj)
     bnodes.foreach(b => assert(b.startsWith("_:h")))
