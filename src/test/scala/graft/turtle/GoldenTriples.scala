@@ -52,7 +52,10 @@ object GoldenTriples {
 
 /** Regenerates the golden TSVs from the current producer. Run via
   * `sbt "Test/runMain graft.turtle.GoldenGen"` ONLY after auditing a change
-  * against the W3C spec semantics — goldens are the frozen contract. */
+  * against the W3C spec semantics — goldens are the frozen contract.
+  * Any regeneration must be re-verified byte-identical against the Rust
+  * reference via `tools/refgen` (see tools/refgen/README.md), which is the
+  * goldens' source of truth since round 2. */
 object GoldenGen {
   def main(args: Array[String]): Unit = {
     val outDir = java.nio.file.Paths.get("src/test/resources/goldens/triples")
