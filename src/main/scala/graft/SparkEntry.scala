@@ -33,7 +33,14 @@ object SparkEntry {
     "kg_triples" -> ((s, d) =>
       TripleExtraction.run(PagesSource.pages(s, PagesSource.countForSfDir(d))).toDF()),
     "kg_roundtrip" -> ((s, d) =>
-      TripleExtraction.roundTrip(PagesSource.pages(s, PagesSource.countForSfDir(d))).toDF()),
+      // one self-evident row: the byte-identity gate holds iff violations=0
+      // (driver sees the gate, not an opaque per-block row count)
+      TripleExtraction.roundTrip(PagesSource.pages(s, PagesSource.countForSfDir(d))).toDF()
+        .agg(count(lit(1)).as("blocks"),
+          sum(when(col("parsed"), 1L).otherwise(0L)).as("parsed"),
+          sum(when(col("byte_identical"), 1L).otherwise(0L)).as("identical"),
+          sum(when(col("parsed") && !col("byte_identical"), 1L).otherwise(0L))
+            .as("violations"))),
     "kg_pred_counts" -> ((s, d) =>
       TripleExtraction.run(PagesSource.pages(s, PagesSource.countForSfDir(d)))
         .toDF().filter(col("error").isNull)
@@ -79,9 +86,12 @@ object SparkEntry {
       s.read.format("turtle").load(dir.toString)
     }),
     "kg_errors" -> ((s, d) =>
+      // stable aggregate: error-class histogram (classes are the fixed
+      // prefixes emitted by TripleExtraction: NotFullyParsed / ProduceError)
       TripleExtraction.run(PagesSource.pages(s, PagesSource.countForSfDir(d)))
         .toDF().filter(col("error").isNotNull)
-        .select(col("url"), col("block"), col("error"))),
+        .groupBy(substring_index(col("error"), ":", 1).as("error_class"))
+        .agg(count(lit(1)).as("n"))),
 
     // --- relational core (oracled against DuckDB) ---
     "q1_agg" -> ((s, d) =>
@@ -189,10 +199,14 @@ object SparkEntry {
     // --- training-data ops: dedup ---
     "dedup_group_signature" -> ((s, d) => {
       // custom typed Aggregator: per-source MinHash signature (mergeable
-      // sketch, map-side partial aggregation)
+      // sketch, map-side partial aggregation). Exploded to scalar rows
+      // (source, slot, min_hash) — the driver compare requires hashable
+      // (non-array) column types.
       val sig = udaf(graft.ops.MinHashAggregator)
       t(s, d, "documents").groupBy(col("source"))
         .agg(sig(col("text")).as("signature"))
+        .select(col("source"), posexplode(col("signature")))
+        .toDF("source", "slot", "min_hash")
     }),
     "dedup_exact" -> ((s, d) =>
       DedupOps.exactDedup(dupCorpus(s, d, perturb = false))),
@@ -307,9 +321,12 @@ object SparkEntry {
          WHERE o_orderkey IN
            (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)""",
     "q9_anti_join" ->
+      // NOT EXISTS (not NOT IN): matches Spark left_anti's NULL semantics —
+      // a NULL o_custkey must not blank the whole result
       """SELECT c_custkey, c_name FROM customer
-         WHERE c_custkey NOT IN
-           (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""",
+         WHERE NOT EXISTS
+           (SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
     "q10_sessionize" ->
       """WITH e AS (
            SELECT user_id, event_id, ts,
@@ -366,5 +383,61 @@ object SparkEntry {
          FROM (SELECT doc_id, text FROM documents
                UNION ALL
                SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 10 = 0)
-         GROUP BY text""")
+         GROUP BY text""",
+    // Spark uses lookaround splits (java.util.regex); DuckDB's RE2 has no
+    // lookaround, so the oracle inserts spaces at the same class transitions
+    // with 4 capture-group replace passes — equivalent segmentation (same-
+    // type transitions can never overlap, so sequential passes find all).
+    "text_subwords" ->
+      """SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                  '([a-zA-Z])([0-9])', '\1 \2', 'g'),
+                  '([0-9])([a-zA-Z])', '\1 \2', 'g'),
+                  '([a-zA-Z0-9])([^a-zA-Z0-9\s])', '\1 \2', 'g'),
+                  '([^a-zA-Z0-9\s])([a-zA-Z0-9])', '\1 \2', 'g')
+              ), '\s+')) END AS BIGINT) AS n_subwords
+         FROM documents""",
+    // marker-occurrence scoring identical to TextOps.langId: per-family sum
+    // of non-overlapping marker counts, best (score, code) wins with
+    // lexicographically-greatest code breaking ties (greatest(struct(s,c))
+    // semantics), 'und' when every score is zero
+    "text_langid" ->
+      """WITH p AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents),
+         s AS (SELECT doc_id, lang,
+           CAST((length(t) - length(replace(t, ' the ', ''))) / 5.0
+              + (length(t) - length(replace(t, ' and ', ''))) / 5.0
+              + (length(t) - length(replace(t, ' of ', ''))) / 4.0
+              + (length(t) - length(replace(t, ' to ', ''))) / 4.0
+              + (length(t) - length(replace(t, ' is ', ''))) / 4.0 AS BIGINT) AS s_en,
+           CAST((length(t) - length(replace(t, ' le ', ''))) / 4.0
+              + (length(t) - length(replace(t, ' la ', ''))) / 4.0
+              + (length(t) - length(replace(t, ' les ', ''))) / 5.0
+              + (length(t) - length(replace(t, ' et ', ''))) / 4.0
+              + (length(t) - length(replace(t, ' est ', ''))) / 5.0 AS BIGINT) AS s_fr,
+           CAST((length(t) - length(replace(t, ' el ', ''))) / 4.0
+              + (length(t) - length(replace(t, ' los ', ''))) / 5.0
+              + (length(t) - length(replace(t, ' las ', ''))) / 5.0
+              + (length(t) - length(replace(t, ' es ', ''))) / 4.0
+              + (length(t) - length(replace(t, ' y ', ''))) / 3.0 AS BIGINT) AS s_es,
+           CAST((length(t) - length(replace(t, ' der ', ''))) / 5.0
+              + (length(t) - length(replace(t, ' die ', ''))) / 5.0
+              + (length(t) - length(replace(t, ' und ', ''))) / 5.0
+              + (length(t) - length(replace(t, ' ist ', ''))) / 5.0
+              + (length(t) - length(replace(t, ' das ', ''))) / 5.0 AS BIGINT) AS s_de
+           FROM p)
+         SELECT doc_id, lang,
+           CASE WHEN greatest(s_en, s_fr, s_es, s_de) <= 0 THEN 'und'
+                WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+                WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+                WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+                ELSE 'de' END AS lang_pred
+         FROM s""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+         md5(array_to_string(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> length(x) > 0), ' ')) AS fp
+         FROM documents""")
 }

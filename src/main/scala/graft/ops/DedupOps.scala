@@ -29,7 +29,8 @@ object DedupOps {
   val NUM_BANDS = NUM_HASHES / BAND_ROWS
 
   def wordShingles(text: String, k: Int = 3): Array[String] = {
-    val toks = text.toLowerCase(java.util.Locale.ROOT)
+    val safe = if (text == null) "" else text // null text = empty doc, not an NPE
+    val toks = safe.toLowerCase(java.util.Locale.ROOT)
       .split("[^a-z0-9]+").filter(_.nonEmpty)
     if (toks.length <= k) Array(toks.mkString(" "))
     else Array.tabulate(toks.length - k + 1)(i => toks.slice(i, i + k).mkString(" "))
@@ -116,7 +117,8 @@ object DedupOps {
   // ---- SimHash -----------------------------------------------------------
 
   def simhash64(text: String): Long = {
-    val toks = text.toLowerCase(java.util.Locale.ROOT)
+    val safe = if (text == null) "" else text
+    val toks = safe.toLowerCase(java.util.Locale.ROOT)
       .split("[^a-z0-9]+").filter(_.nonEmpty)
     val acc = new Array[Int](64)
     var i = 0

@@ -23,6 +23,7 @@ object MinHashAggregator extends Aggregator[String, Array[Long], Array[Long]] {
   override def zero: Array[Long] = Array.fill(DedupOps.NUM_HASHES)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], text: String): Array[Long] = {
+    if (text == null) return buf // errors-as-data: a NULL text must not kill the task
     val sig = DedupOps.minhashSig(DedupOps.wordShingles(text))
     var i = 0
     while (i < buf.length) {

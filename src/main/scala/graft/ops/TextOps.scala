@@ -68,13 +68,13 @@ object TextOps {
     when(best.getField("s") > 0, best.getField("c")).otherwise(lit("und"))
   }
 
-  /** 64-bit document fingerprint (hash of the normalized token stream) —
-    * deterministic content id for lineage/exact dedup. */
-  def fingerprint(text: Column): Column = {
-    // xxhash64 of the normalized token stream: cheap, codegen'd, stable
-    xxhash64(concat_ws(" ",
+  /** Document fingerprint (md5 hex of the normalized token stream) —
+    * deterministic content id for lineage/exact dedup. md5 (not xxhash64)
+    * so the oracle engine computes the identical value; both are codegen'd
+    * built-ins on the Spark side. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ",
       filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)))
-  }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): rolling
     * polynomial hash over character k-grams, then the minimum hash of each
@@ -83,7 +83,7 @@ object TextOps {
     * length >= w+k-1 guarantee shared fingerprints — the standard
     * plagiarism/near-dup primitive at corpus scale. */
   def winnow(text: String, k: Int = 8, w: Int = 16): Array[Long] = {
-    val s = text.toLowerCase(java.util.Locale.ROOT)
+    val s = (if (text == null) "" else text).toLowerCase(java.util.Locale.ROOT)
       .replaceAll("[^a-z0-9]+", " ").trim
     if (s.length < k) return Array(graft.kg.PagesSource.fnv64(s))
     val B = 1000003L
