@@ -82,17 +82,25 @@ object Canonicalize {
   }
 
   /** Rewrite triples so subjects/objects use canonical entity ids.
-    * Both joins are LEFT joins against the (small, vocabulary-sized) label
-    * table → broadcast; non-entities pass through unchanged. */
+    * Both joins are LEFT joins against the label table; non-entities pass
+    * through unchanged.
+    *
+    * NO forced broadcast() hint: the label table is sized by the number of
+    * distinct IRIs in sameAs components — corpus-scale at 100 TB, not
+    * vocabulary-scale — so a forced broadcast is a driver/executor OOM.
+    * The labels come out of the CC loop localCheckpoint'ed, so AQE has real
+    * size stats and picks broadcast when (and only when) the table is under
+    * spark.sql.autoBroadcastJoinThreshold, falling back to sort-merge with
+    * skew-join splitting above it. */
   def canonicalizeTriples(triples: Dataset[TripleRow], labels: DataFrame): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
     val l = labels.select($"id", $"canonical")
     triples.toDF()
-      .join(broadcast(l).as("ls"), $"subj" === $"ls.id", "left")
+      .join(l.as("ls"), $"subj" === $"ls.id", "left")
       .withColumn("subj_c", coalesce($"ls.canonical", $"subj"))
       .drop("id", "canonical")
-      .join(broadcast(l).as("lo"),
+      .join(l.as("lo"),
         $"obj_kind" === "iri" && $"obj_value" === $"lo.id", "left")
       .withColumn("obj_c", coalesce($"lo.canonical", $"obj_value"))
       .drop("id", "canonical")

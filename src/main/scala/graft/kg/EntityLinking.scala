@@ -87,16 +87,16 @@ object EntityLinking {
       bands(minhash(shingles(norm))).iterator.map { case (b, h) => (norm, b, h) }
     }.toDF("norm", "band", "bandhash")
 
-    // dictionary bands are a pure function of the vocabulary → computed on
-    // the driver, shipped once as a broadcast literal
-    val dictBandsLocal: Seq[(String, String, Int, Long)] =
-      dict.collect().toSeq.flatMap { d =>
-        bands(minhash(shingles(d.surface))).map { case (b, h) =>
-          (d.surface, d.entity_iri, b, h)
-        }
+    // dictionary bands are a pure function of the vocabulary — computed
+    // DISTRIBUTED (a real linker dictionary has 10^7 surfaces; collecting
+    // it to the driver to band it would bottleneck driver memory and
+    // serialization), then the still-vocabulary-bounded result is broadcast
+    // at the join below
+    val dictBands = dict.flatMap { dEntry =>
+      bands(minhash(shingles(dEntry.surface))).iterator.map { case (b, h) =>
+        (dEntry.surface, dEntry.entity_iri, b, h)
       }
-    val dictBands = spark.createDataset(dictBandsLocal)
-      .toDF("dict_surface", "cand_iri", "band", "bandhash")
+    }.toDF("dict_surface", "cand_iri", "band", "bandhash")
 
     val jac = udf((a: String, b: String) => jaccard(shingles(a), shingles(b)))
 
@@ -111,12 +111,14 @@ object EntityLinking {
       .agg(max(struct($"jaccard", $"cand_iri")).as("best"))
       .select($"norm", $"best.cand_iri".as("lsh_iri"))
 
-    // ONE pass over the mention stream: both the exact dictionary and the
-    // per-norm LSH matches are broadcast lookups, resolved with coalesce —
-    // no union of separately-recomputed branches, no mention-side shuffle.
+    // ONE pass over the mention stream: the exact dictionary is a broadcast
+    // lookup (vocabulary-bounded by construction); bestPerNorm is bounded
+    // by corpus-distinct near-miss norms that matched — usually small but
+    // not structurally bounded, so NO forced hint: AQE size-gates the
+    // broadcast at runtime and falls back to a shuffle join if it grew.
     mentions.toDF()
       .join(broadcast(dictDf), $"norm" === $"dict_surface", "left")
-      .join(broadcast(bestPerNorm), Seq("norm"), "left")
+      .join(bestPerNorm, Seq("norm"), "left")
       .filter($"entity_iri".isNotNull || $"lsh_iri".isNotNull)
       .select($"url", $"surface",
         coalesce($"entity_iri", $"lsh_iri").as("entity_iri"),

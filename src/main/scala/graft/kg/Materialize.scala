@@ -2,7 +2,7 @@ package graft.kg
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import java.nio.charset.StandardCharsets
 
 /** Graph materialization: partitioned triple tables + per-partition lineage
@@ -11,63 +11,114 @@ import java.nio.charset.StandardCharsets
   * Iceberg-style semantics without the Iceberg runtime (not on the sandbox
   * classpath): hash-bucketed directory layout, a JSON manifest written LAST
   * (write-temp + atomic rename) as the commit point, and resume via
-  * bucket-set difference against the manifest — exactly the
-  * partition-level atomic-commit + resumability contract of the north_rule.
+  * bucket-set difference against the manifest — the partition-level
+  * atomic-commit + resumability contract of the north_rule.
   *
-  * Scale notes:
+  * Scale design:
   *  - bucket = pmod(hash(subj), numBuckets): co-locates all triples of a
   *    subject → downstream subject-keyed joins and dedup are co-partitioned.
-  *  - repartition on the bucket column before partitionBy → exactly one
-  *    file per bucket per write, no small-file explosion at 1000 executors.
+  *  - numBuckets is a PARAMETER persisted in the manifest (resume reuses the
+  *    original bucketing — a changed bucket count would scramble the
+  *    bucket↔data mapping). Auto mode scales it with cluster parallelism,
+  *    so 1000 executors get 1000-way write concurrency, not a fixed 32.
+  *  - repartition(numBuckets, bucket) before partitionBy → exactly one file
+  *    per bucket, no small-file explosion.
+  *  - COMMIT GRANULARITY: data is written once to a staging dir (one Spark
+  *    job — no upstream recompute per group), then bucket dirs are renamed
+  *    into the final table in `commitGroups` groups with a manifest update
+  *    after each group. A crash mid-commit preserves the groups already
+  *    renamed+committed (partition-level progress), and a crash during the
+  *    staging write loses only staging. Renames are metadata ops on
+  *    HDFS-like filesystems.
+  *  - all filesystem mutations go through the Hadoop FileSystem API, so the
+  *    exactly-once cleanup works on HDFS/S3A, not only file:// (a
+  *    java.nio.file cleanup would silently no-op off-JVM-local disk).
   *  - dedup happens per document inside the parse stage (the triple
   *    identity key includes url+block, so duplicates cannot span documents)
   *    — no cluster-wide dedup shuffle or sort exists at all.
   */
 object Materialize {
 
+  /** Default bucket count when creating a NEW table in auto mode. */
   val NUM_BUCKETS = 32
 
-  def bucketed(triples: DataFrame): DataFrame =
-    triples.withColumn("bucket",
-      pmod(xxhash64(coalesce(col("subj"), col("url"))), lit(NUM_BUCKETS)).cast("int"))
+  private def autoBuckets(spark: SparkSession): Int =
+    math.max(NUM_BUCKETS, spark.sparkContext.defaultParallelism * 2)
 
-  /** Write buckets not yet present in the manifest; returns lineage rows. */
-  def write(triples: DataFrame, outDir: String): DataFrame = {
+  def bucketed(triples: DataFrame, numBuckets: Int = NUM_BUCKETS): DataFrame =
+    triples.withColumn("bucket",
+      pmod(xxhash64(coalesce(col("subj"), col("url"))), lit(numBuckets)).cast("int"))
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Write buckets not yet present in the manifest; returns lineage rows.
+    *
+    * @param numBuckets 0 = auto (manifest value if resuming, else
+    *                   max(NUM_BUCKETS, 2×defaultParallelism))
+    * @param commitGroups number of manifest commit points across the
+    *                   pending buckets (resume granularity) */
+  def write(triples: DataFrame, outDir: String, numBuckets: Int = 0,
+      commitGroups: Int = 4): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
 
-    val done: Set[Int] = readManifest(outDir)
-    val withBucket = bucketed(triples)
+    val hfs = fs(spark, outDir)
+    val (manifestBuckets, done) = readManifestFull(outDir)
+    val nb = manifestBuckets.getOrElse(
+      if (numBuckets > 0) numBuckets else autoBuckets(spark))
+
+    val withBucket = bucketed(triples, nb)
+    val pendingBuckets = (0 until nb).filterNot(done)
     val pending =
       if (done.isEmpty) withBucket
       else withBucket.filter(!col("bucket").isin(done.toSeq: _*))
 
-    // exactly-once per bucket: a crash between data write and manifest
-    // commit leaves orphan bucket dirs; removing not-yet-committed buckets
-    // before (re)writing makes the retry idempotent
-    (0 until NUM_BUCKETS).filterNot(done).foreach { b =>
-      val dir = Paths.get(outDir, "triples", s"bucket=$b")
-      if (Files.exists(dir)) {
-        val walk = Files.walk(dir)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { Files.deleteIfExists(p); () })
-        finally walk.close()
+    if (pendingBuckets.nonEmpty) {
+      // exactly-once per bucket: a crash between a group's renames and its
+      // manifest commit leaves orphan bucket dirs in the final table;
+      // removing uncommitted bucket dirs before re-writing makes the retry
+      // idempotent (Hadoop FS → works on HDFS/S3A too)
+      pendingBuckets.foreach { b =>
+        val dir = new Path(s"$outDir/triples/bucket=$b")
+        if (hfs.exists(dir)) hfs.delete(dir, true)
       }
+
+      // stage ALL pending buckets in one job: one shuffle on bucket, one
+      // file per bucket, no per-group recompute of the upstream pipeline
+      val staging = s"$outDir/_staging"
+      hfs.delete(new Path(staging), true)
+      pending.repartition(nb, col("bucket"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(s"$staging/triples")
+
+      // commit in groups: rename staged bucket dirs into the final table,
+      // then advance the manifest — partition-level progress survives a
+      // crash between groups
+      val finalTriples = new Path(s"$outDir/triples")
+      hfs.mkdirs(finalTriples)
+      val groupSize = math.max(1, math.ceil(
+        pendingBuckets.size.toDouble / math.max(1, commitGroups)).toInt)
+      var committed = done
+      pendingBuckets.grouped(groupSize).foreach { group =>
+        group.foreach { b =>
+          val src = new Path(s"$staging/triples/bucket=$b")
+          if (hfs.exists(src)) {
+            hfs.rename(src, new Path(s"$outDir/triples/bucket=$b"))
+            ()
+          }
+          // a bucket with zero rows stages no dir; it is still committed
+        }
+        committed = committed ++ group
+        writeManifest(outDir, nb, committed)
+      }
+      hfs.delete(new Path(staging), true)
     }
 
-    // ONE shuffle (on bucket), then straight to parquet. Triples are
-    // already exactly-once: the identity key includes (url, block) and
-    // in-document duplicates are removed inside the parse flatMap
-    // (TripleExtraction), so no cluster-wide dedup sort is needed here.
-    val deduped = pending.repartition(col("bucket"))
-
-    deduped.write.mode(SaveMode.Append)
-      .partitionBy("bucket")
-      .parquet(s"$outDir/triples")
-
     // per-bucket lineage (counts of pages/blocks/triples/errors), computed
-    // from the parquet just written: a pruned 3-column scan of the
-    // materialized table instead of a full re-pass over the pipeline
+    // from the parquet just written: a pruned 4-column scan of the
+    // materialized table instead of a full re-pass over the pipeline.
     // schema given explicitly so an empty write (zero input rows) still
     // reads back as an empty frame instead of failing schema inference
     val written = spark.read.schema(withBucket.schema)
@@ -81,30 +132,52 @@ object Materialize {
     lineage.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/_lineage")
 
-    writeManifest(outDir, done ++ (0 until NUM_BUCKETS))
     spark.read.parquet(s"$outDir/_lineage")
   }
 
   /** Manifest = commit point. Written to a temp file then atomically renamed. */
-  def writeManifest(outDir: String, buckets: Set[Int]): Unit = {
-    val p = Paths.get(outDir)
-    Files.createDirectories(p)
+  def writeManifest(outDir: String, numBuckets: Int, buckets: Set[Int]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new Path(outDir)
+    val hfs = p.getFileSystem(conf)
+    hfs.mkdirs(p)
     val json =
-      s"""{"format":"graft-triples-v1","numBuckets":$NUM_BUCKETS,"completedBuckets":[${buckets.toSeq.sorted.mkString(",")}]}"""
-    val tmp = p.resolve("_manifest.json.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, p.resolve("_manifest.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      s"""{"format":"graft-triples-v1","numBuckets":$numBuckets,"completedBuckets":[${buckets.toSeq.sorted.mkString(",")}]}"""
+    val tmp = new Path(outDir, "_manifest.json.tmp")
+    val out = hfs.create(tmp, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val dst = new Path(outDir, "_manifest.json")
+    hfs.delete(dst, false)
+    hfs.rename(tmp, dst)
+    ()
   }
 
-  def readManifest(outDir: String): Set[Int] = {
-    val f = Paths.get(outDir, "_manifest.json")
-    if (!Files.exists(f)) Set.empty
+  /** Back-compat helper used by tests: manifest with the default layout. */
+  def writeManifest(outDir: String, buckets: Set[Int]): Unit =
+    writeManifest(outDir, readManifestFull(outDir)._1.getOrElse(NUM_BUCKETS), buckets)
+
+  def readManifest(outDir: String): Set[Int] = readManifestFull(outDir)._2
+
+  /** (numBuckets if a manifest exists, completed buckets). */
+  def readManifestFull(outDir: String): (Option[Int], Set[Int]) = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val f = new Path(outDir, "_manifest.json")
+    val hfs = f.getFileSystem(conf)
+    if (!hfs.exists(f)) (None, Set.empty)
     else {
-      val s = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
-      val m = "\"completedBuckets\":\\[([0-9,]*)\\]".r.findFirstMatchIn(s)
-      m.map(_.group(1)).filter(_.nonEmpty)
+      val in = hfs.open(f)
+      val s = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+      val nb = "\"numBuckets\":([0-9]+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
+      val done = "\"completedBuckets\":\\[([0-9,]*)\\]".r.findFirstMatchIn(s)
+        .map(_.group(1)).filter(_.nonEmpty)
         .map(_.split(",").map(_.toInt).toSet).getOrElse(Set.empty)
+      (nb, done)
     }
   }
 

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.kg.PagesSource.{fnv64, mix64}
 
 /** Deduplication operators for training-data curation over `documents`.
@@ -27,6 +28,29 @@ object DedupOps {
   val NUM_HASHES = 16
   val BAND_ROWS = 4
   val NUM_BANDS = NUM_HASHES / BAND_ROWS
+
+  /** Per-(band,key) bucket membership cap for the LSH self-joins. Without a
+    * cap, a corpus with k identical boilerplate documents puts all k in one
+    * bucket → O(k²) candidate pairs (the classic Common-Crawl blowup). With
+    * the cap, a bucket contributes at most cap·(cap-1)/2 pairs; members of a
+    * hot bucket beyond the cap still pair with the kept ones through their
+    * OTHER bands, so duplicate CLUSTERS are still discovered — only the
+    * redundant intra-clique pairs are dropped. */
+  val MAX_BUCKET = 64
+
+  /** Cap LSH bucket membership at `cap` rows per key (deterministic keep
+    * set: lowest ids). NOT silent: every action on the result reports the
+    * number of dropped rows as the named observed metric `metricName`
+    * (visible to QueryExecutionListeners and the Spark UI). */
+  def capBuckets(bands: DataFrame, keyCols: Seq[String], idCol: String,
+      cap: Int, metricName: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    bands.withColumn("_rn", row_number().over(w))
+      .observe(metricName,
+        sum(when(col("_rn") > cap, 1L).otherwise(0L)).as("dropped_rows"))
+      .filter(col("_rn") <= cap)
+      .drop("_rn")
+  }
 
   def wordShingles(text: String, k: Int = 3): Array[String] = {
     val safe = if (text == null) "" else text // null text = empty doc, not an NPE
@@ -90,7 +114,10 @@ object DedupOps {
       bandKeys(sig, NUM_BANDS, BAND_ROWS).iterator.map { case (b, h) => (id, b, h) }
     }.toDF("doc_id", "band", "bandhash")
 
-    val cand = bandsDs.as("l").join(bandsDs.as("r"),
+    val capped = capBuckets(bandsDs, Seq("band", "bandhash"), "doc_id",
+      MAX_BUCKET, "minhash_lsh_bucket_cap")
+
+    val cand = capped.as("l").join(capped.as("r"),
         $"l.band" === $"r.band" && $"l.bandhash" === $"r.bandhash" &&
           $"l.doc_id" < $"r.doc_id")
       .select($"l.doc_id".as("a"), $"r.doc_id".as("b")).distinct()
@@ -147,11 +174,14 @@ object DedupOps {
       .map { case (id, t) => (id, simhash64(t)) }
       .toDF("doc_id", "sig")
 
-    val banded = sigs.select($"doc_id", $"sig",
+    val bandedRaw = sigs.select($"doc_id", $"sig",
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright($"sig", b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
       .select($"doc_id", $"sig", $"bk.band", $"bk.key")
+
+    val banded = capBuckets(bandedRaw, Seq("band", "key"), "doc_id",
+      MAX_BUCKET, "simhash_lsh_bucket_cap")
 
     val pairs = banded.as("l").join(banded.as("r"),
         $"l.band" === $"r.band" && $"l.key" === $"r.key" &&

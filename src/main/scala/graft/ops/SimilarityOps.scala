@@ -127,19 +127,41 @@ object SimilarityOps {
   }
 
   /** Embedding near-dup detection: pairs with cosine >= minCos among
-    * SRP-bucket collisions (a < b). */
+    * multi-table SRP-bucket collisions (a < b).
+    *
+    * Scale shape: `nTables` independent 2^nBits-bucket tables (disjoint
+    * hyperplane banks); a pair is a candidate if it collides in ANY table.
+    * Recall for a pair at angle θ is 1-(1-(1-θ/π)^nBits)^nTables — at the
+    * 16-bit/8-table default, ~0.80 at cosine exactly 0.95 and → 1.0 as
+    * cosine → 1 (true duplicates collide in every table). Pick
+    * nBits ≈ log2(corpusSize / targetBucketSize) at deployment scale.
+    * Bucket membership is capped (DedupOps.MAX_BUCKET, observed metric
+    * `embedding_lsh_bucket_cap`) so a hot bucket can never go O(k²). */
   def embeddingDedup(embeddings: DataFrame, minCos: Double = 0.95,
-      nBits: Int = 6): DataFrame = {
+      nBits: Int = 16, nTables: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val vecs = embeddings.select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
-    val bucketed = vecs.map { case (id, v) => (id, v, srpBucket(v, nBits)) }
-      .toDF("vec_id", "embedding", "bucket")
+    val bucketed = vecs.flatMap { case (id, v) =>
+      (0 until nTables).iterator.map(t => (id, t, srpBucket(v, nBits, t)))
+    }.toDF("vec_id", "tbl", "bucket")
 
-    val pairs = bucketed.as("l").join(bucketed.as("r"),
-        $"l.bucket" === $"r.bucket" && $"l.vec_id" < $"r.vec_id")
-      .select($"l.vec_id".as("a"), $"r.vec_id".as("b"),
-        $"l.embedding".as("va"), $"r.embedding".as("vb"))
+    val capped = DedupOps.capBuckets(bucketed, Seq("tbl", "bucket"), "vec_id",
+      DedupOps.MAX_BUCKET, "embedding_lsh_bucket_cap")
+
+    // distinct candidate ids first (multi-table collisions dedupe here),
+    // then fetch the two vectors — embeddings never ride through the
+    // banding shuffle
+    val cand = capped.as("l").join(capped.as("r"),
+        $"l.tbl" === $"r.tbl" && $"l.bucket" === $"r.bucket" &&
+          $"l.vec_id" < $"r.vec_id")
+      .select($"l.vec_id".as("a"), $"r.vec_id".as("b")).distinct()
+
+    val vecsDf = vecs.toDF("vec_id", "embedding")
+    val pairs = cand
+      .join(vecsDf.withColumnRenamed("vec_id", "a").withColumnRenamed("embedding", "va"), "a")
+      .join(vecsDf.withColumnRenamed("vec_id", "b").withColumnRenamed("embedding", "vb"), "b")
+      .select($"a", $"b", $"va", $"vb")
       .as[(Long, Long, Array[Float], Array[Float])]
 
     pairs.map { case (a, b, va, vb) => (a, b, (cosine(va, vb) * 1000).toLong) }

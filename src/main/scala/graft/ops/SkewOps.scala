@@ -17,9 +17,17 @@ object SkewOps {
     * key's rows spread over `salt` reducers instead of one.
     *
     * Use when `small` is too big to broadcast but tiny relative to `big`
-    * (replication cost = |small| × salt rows). */
+    * (replication cost = |small| × salt rows).
+    *
+    * Equivalence-preserving ONLY for inner/left/left_semi: with right/full
+    * joins every unmatched small-side row would be emitted once per salt
+    * replica (duplicate output rows), so those types are rejected. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salt: Int = 8, joinType: String = "inner"): DataFrame = {
+    val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase(java.util.Locale.ROOT)),
+      s"saltedJoin is equivalence-preserving only for $allowed, got $joinType")
     val bigSalted = big.withColumn("_salt",
       pmod(xxhash64(struct(big.columns.map(col).toSeq: _*)), lit(salt)).cast("int"))
     val saltsDf = small.sparkSession.range(0, salt)

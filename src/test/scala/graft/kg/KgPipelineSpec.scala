@@ -102,6 +102,39 @@ class KgPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Materialize.readManifest(out) == (0 until Materialize.NUM_BUCKETS).toSet)
   }
 
+  test("per-group commits preserve PARTIAL progress and resume completes it") {
+    val out = java.nio.file.Files.createTempDirectory("graft-partial").toString
+    val triples = Canonicalize.canonicalizeTriples(
+      TripleExtraction.run(PagesSource.pages(spark, 100)),
+      spark.emptyDataFrame.selectExpr("'' as id", "'' as canonical").limit(0))
+    Materialize.write(triples, out)
+    val full = Materialize.readTriples(spark, out).count()
+    val nb = Materialize.readManifestFull(out)._1.get
+
+    // simulate a crash AFTER the first commit group: only the first group's
+    // buckets are committed; later buckets' data is gone with staging
+    val firstGroup = (0 until nb / 4).toSet
+    Materialize.writeManifest(out, nb, firstGroup)
+    (nb / 4 until nb).foreach { b =>
+      val dir = java.nio.file.Paths.get(out, "triples", s"bucket=$b")
+      if (java.nio.file.Files.exists(dir)) {
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally walk.close()
+      }
+    }
+    // the committed group's data survived the crash (partition-level
+    // progress, not all-or-nothing)
+    val partial = Materialize.readTriples(spark, out).count()
+    assert(partial > 0 && partial < full)
+
+    // resume: only the missing buckets are rewritten; totals restore exactly
+    Materialize.write(triples, out)
+    assert(Materialize.readTriples(spark, out).count() == full)
+    assert(Materialize.readManifest(out) == (0 until nb).toSet)
+  }
+
   test("full pipeline: run, materialize, manifest, resume") {
     val out = java.nio.file.Files.createTempDirectory("graft-kg").toString
     val r = KgPipeline.run(spark, 300, out)

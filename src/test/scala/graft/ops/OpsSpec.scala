@@ -33,6 +33,36 @@ class OpsSpec extends AnyFunSuite {
       s"recall ${found.toDouble / injected.length}")
   }
 
+  test("LSH bucket cap bounds a hot bucket (10k identical docs) without losing recall") {
+    import spark.implicits._
+    // Common-Crawl shape: a massive exact-duplicate boilerplate cluster.
+    // Uncapped, 10k identical docs in one (band,hash) bucket → ~50M
+    // candidate pairs; the cap must bound candidates while near-dup recall
+    // on the ordinary injected dups stays >= 0.95.
+    val boiler = spark.range(500000, 510000)
+      .select($"id".as("doc_id"), lit("the same boilerplate cookie banner text " +
+        "repeated on every single page of this website").as("text"))
+    val base = docs.select($"doc_id", $"text")
+    val dups = base.filter($"doc_id" % 5 === 0)
+      .withColumn("doc_id", $"doc_id" + 100000L)
+      .withColumn("text", regexp_replace($"text", "\\s+\\S+\\s*$", ""))
+    val corpus = base.unionByName(dups).unionByName(boiler)
+
+    val pairs = DedupOps.minhashDedup(corpus, 0.5)
+      .select($"a", $"b").as[(Long, Long)].collect()
+    val cap = DedupOps.MAX_BUCKET
+    val boilerPairs = pairs.count { case (a, b) => a >= 500000 && b >= 500000 }
+    assert(boilerPairs <= cap * (cap - 1) / 2,
+      s"hot-bucket pairs not bounded: $boilerPairs")
+    assert(boilerPairs > 0, "cap must keep intra-bucket pairs, not drop the bucket")
+
+    val pairSet = pairs.toSet
+    val injected = base.filter($"doc_id" % 5 === 0).select($"doc_id").as[Long].collect()
+    val found = injected.count(id => pairSet.contains((id, id + 100000L)))
+    assert(found.toDouble / injected.length >= 0.95,
+      s"recall ${found.toDouble / injected.length} with cap active")
+  }
+
   test("simhash dedup finds exact copies at hamming 0") {
     import spark.implicits._
     val base = docs.select($"doc_id", $"text")
