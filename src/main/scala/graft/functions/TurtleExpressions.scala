@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.turtle.{Ast, TurtleParser, TripleProducer}
+import graft.turtle.{Ast, TurtleParser, TurtleSerializer, TripleProducer}
 import graft.turtle.TripleProducer.{TIri, TBnode, TLit}
 
 /** SQL-level Turtle functions — the custom-Catalyst tier of SURVEY.md §7:
@@ -55,6 +55,42 @@ case class TurtleUnescape(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "turtle_unescape"
+}
+
+object SerializeTurtle {
+  /** Static entry for generated code: parse + lossless re-render (null when
+    * the document does not parse). Pairs with `parse_turtle_triples` so the
+    * round-trip gate `serialize_turtle(text) = text` is expressible in pure
+    * SQL (SURVEY.md §2.2 S1). */
+  def renderOrNull(s: UTF8String): UTF8String =
+    TurtleParser.parseFull(s.toString) match {
+      case Right(doc) => UTF8String.fromString(TurtleSerializer.render(doc))
+      case Left(_)    => null
+    }
+}
+
+/** `serialize_turtle(str)` — codegen'd scalar expression: the reference's
+  * document `gen` (lossless serialization) reachable from SQL. */
+case class SerializeTurtle(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"serialize_turtle requires STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    SerializeTurtle.renderOrNull(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.SerializeTurtle.renderOrNull($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): SerializeTurtle =
+    copy(child = newChild)
+
+  override def prettyName: String = "serialize_turtle"
 }
 
 /** `parse_turtle_triples(text, url)` — generator: parses `text` as one
@@ -131,6 +167,9 @@ object GraftFunctions {
     ("turtle_unescape",
       new ExpressionInfo(classOf[TurtleUnescape].getName, "turtle_unescape"),
       (args: Seq[Expression]) => TurtleUnescape(args.head)),
+    ("serialize_turtle",
+      new ExpressionInfo(classOf[SerializeTurtle].getName, "serialize_turtle"),
+      (args: Seq[Expression]) => SerializeTurtle(args.head)),
     ("parse_turtle_triples",
       new ExpressionInfo(classOf[ParseTurtleTriples].getName, "parse_turtle_triples"),
       (args: Seq[Expression]) => ParseTurtleTriples(args(0), args(1))))

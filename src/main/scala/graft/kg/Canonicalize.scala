@@ -38,9 +38,44 @@ object Canonicalize {
       .distinct()
   }
 
+  /** Size gate for the driver-local CC path: below this edge count the
+    * whole component computation is cheaper on the driver (one collect +
+    * union-find) than ~3 distributed iterations × (join + agg + checkpoint
+    * + probe) jobs. Same spirit as AQE's broadcast gate: tiny data wants a
+    * local algorithm. 500k string edges ≈ tens of MB — safe to collect. */
+  val LOCAL_CC_MAX_EDGES = 500000
+
   /** Hash-min connected components. Input: (src, dst) string edges.
-    * Output: (id, canonical). */
+    * Output: (id, canonical) — every vertex labeled with the
+    * lexicographically smallest IRI of its component.
+    *
+    * Two physical paths with identical results:
+    *  - |edges| ≤ LOCAL_CC_MAX_EDGES: driver-local union-find (zero extra
+    *    Spark jobs past the one pass that fetches the edges; the result is
+    *    a local relation, so downstream joins against it broadcast without
+    *    stats guessing). sameAs alias graphs are vocabulary-scale in most
+    *    corpora even when the corpus is 100 TB.
+    *  - otherwise: distributed hash-min label propagation with AQE skew
+    *    handling and lineage-truncating checkpoints.
+    *
+    * The gate probes with limit(max+1).collect() — on the big path that
+    * scan short-circuits after finding max+1 rows. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val probe = edges.select($"src", $"dst")
+      .limit(LOCAL_CC_MAX_EDGES + 1)
+      .as[(String, String)].collect()
+    if (probe.length <= LOCAL_CC_MAX_EDGES) {
+      spark.createDataset(localUnionFind(probe).toSeq)
+        .toDF("id", "canonical")
+    } else distributedCC(edges, maxIter)
+  }
+
+  /** The distributed hash-min loop (taken above LOCAL_CC_MAX_EDGES; directly
+    * callable in tests to cover the at-scale path on small inputs). */
+  def distributedCC(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -69,7 +104,7 @@ object Canonicalize {
       // star-shaped alias clusters converge in 2 iterations; skip the
       // convergence probe (an extra job) until they could possibly be done
       val changed =
-        if (iter < 1) 1L
+        if (iter < 2) 1L
         else next.as("n")
           .join(labels.as("o"), $"n.id" === $"o.id")
           .filter($"n.label" =!= $"o.label")
@@ -79,6 +114,29 @@ object Canonicalize {
       iter += 1
     }
     labels.select($"id", $"label".as("canonical"))
+  }
+
+  /** Driver-local union-find with path compression; representative =
+    * lexicographically smallest vertex (matches hash-min fixpoint). */
+  def localUnionFind(edges: Array[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        // union by min keeps the representative the smallest label
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.map(v => v -> find(v)).toMap
   }
 
   /** Rewrite triples so subjects/objects use canonical entity ids.

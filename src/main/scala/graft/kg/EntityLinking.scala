@@ -28,6 +28,10 @@ object EntityLinking {
   val NUM_BANDS = NUM_HASHES / BAND_ROWS
   val JACCARD_THRESHOLD = 0.35
 
+  /** Size gate for collecting the per-norm LSH match table to the driver
+    * (strings; 2M rows ≈ low hundreds of MB — stay well under that). */
+  val MAX_LOCAL_NORM_MATCHES = 2000000
+
   def normalize(s: String): String =
     s.toLowerCase(java.util.Locale.ROOT)
       .map(c => if (c.isLetterOrDigit) c else ' ')
@@ -102,7 +106,7 @@ object EntityLinking {
 
     // best entity per distinct norm (deterministic: lexicographic max of
     // (jaccard, entity)); vocabulary-bounded → broadcast back to mentions
-    val bestPerNorm = normBands
+    val bestPerNormPlan = normBands
       .join(broadcast(dictBands), Seq("band", "bandhash"))
       .select($"norm", $"dict_surface", $"cand_iri").distinct()
       .withColumn("jaccard", jac($"norm", $"dict_surface"))
@@ -111,11 +115,22 @@ object EntityLinking {
       .agg(max(struct($"jaccard", $"cand_iri")).as("best"))
       .select($"norm", $"best.cand_iri".as("lsh_iri"))
 
+    // bestPerNorm is bounded by corpus-distinct near-miss norms that
+    // matched the dictionary — usually vocabulary-ish but not structurally
+    // bounded. Size-gate with a capped collect (same pattern as the CC
+    // local path): under the cap the result becomes a LOCAL relation, so
+    // the mention-stream join below is a guaranteed broadcast with no
+    // mention-side shuffle and no recompute of the distinct-norm pass;
+    // over the cap, fall back to the distributed plan and let AQE decide.
+    val bestRows = bestPerNormPlan
+      .limit(MAX_LOCAL_NORM_MATCHES + 1).as[(String, String)].collect()
+    val bestPerNorm =
+      if (bestRows.length <= MAX_LOCAL_NORM_MATCHES)
+        broadcast(spark.createDataset(bestRows.toSeq).toDF("norm", "lsh_iri"))
+      else bestPerNormPlan
+
     // ONE pass over the mention stream: the exact dictionary is a broadcast
-    // lookup (vocabulary-bounded by construction); bestPerNorm is bounded
-    // by corpus-distinct near-miss norms that matched — usually small but
-    // not structurally bounded, so NO forced hint: AQE size-gates the
-    // broadcast at runtime and falls back to a shuffle join if it grew.
+    // lookup (vocabulary-bounded by construction).
     mentions.toDF()
       .join(broadcast(dictDf), $"norm" === $"dict_surface", "left")
       .join(bestPerNorm, Seq("norm"), "left")

@@ -62,15 +62,14 @@ object KgPipeline {
     //    Materialize.write already.
     val triples: Dataset[TripleRow] = TripleExtraction.run(pages)
 
-    val linked = EntityLinking.run(triples)
-
     // independent actions run as concurrent Spark jobs: the scheduler
-    // interleaves their stages, so the linking count overlaps the CC
+    // interleaves their stages, so the linking chain (including its eager
+    // size-gated collect inside EntityLinking.link) overlaps the CC
     // iterations and the write instead of adding serial job latency
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val linkedCountF = Future(linked.count())
+    val linkedCountF = Future(EntityLinking.run(triples).count())
 
     val edges = Canonicalize.sameAsEdges(triples)
     val labels = Canonicalize.connectedComponents(edges) // localCheckpointed

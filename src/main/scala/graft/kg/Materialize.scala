@@ -124,15 +124,21 @@ object Materialize {
     val written = spark.read.schema(withBucket.schema)
       .parquet(s"$outDir/triples")
       .select($"bucket", $"url", $"block", $"error")
-    val lineage = written.groupBy($"bucket").agg(
+    // the aggregate is ≤ numBuckets rows: collect it ONCE, persist the
+    // _lineage table from the local rows, and hand the caller the local
+    // relation — this removes two driver-blocking round trips (re-read of
+    // _lineage + a separate totals job) from the commit critical path
+    val lineageRows = written.groupBy($"bucket").agg(
       countDistinct($"url").as("pages"),
       countDistinct($"url", $"block").as("blocks"),
       count(when($"error".isNull, 1)).as("triples"),
       count(when($"error".isNotNull, 1)).as("errors"))
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    val lineage = spark.createDataset(lineageRows)
+      .toDF("bucket", "pages", "blocks", "triples", "errors")
     lineage.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/_lineage")
-
-    spark.read.parquet(s"$outDir/_lineage")
+    lineage
   }
 
   /** Manifest = commit point. Written to a temp file then atomically renamed. */

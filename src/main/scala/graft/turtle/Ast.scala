@@ -122,6 +122,19 @@ object Ast {
       prefix: Option[String],
       iri: IriRef) extends Directive
 
+  /** AST construction/editing aids mirroring the reference's helper surface
+    * (its declared goal #2 is easy AST navigation/editing). Whitespace is a
+    * plain `String` in this AST, so the canonical single-space constructor
+    * (ref lib.rs:115-119 `Whitespace::space()`) is a constant. */
+  object Whitespace {
+    val space: String = " "
+  }
+
+  /** `IRI → Verb` conversion (ref lib.rs:290-294 `impl From<IRI> for Verb`). */
+  object Verb {
+    def from(iri: Iri): Verb = VerbIri(iri)
+  }
+
   /** lib.rs:1036-1041 */
   sealed trait Literal extends Product with Serializable
   final case class LitRdf(rdf: RdfLiteralNode) extends Literal

@@ -65,15 +65,43 @@ object IriResolver {
     s.nonEmpty && s.head.isLetter && s.forall(c =>
       c.isLetterOrDigit || c == '+' || c == '-' || c == '.')
 
+  /** Character-level IRI validation approximating oxiri's RFC 3987 grammar
+    * check: characters that can never appear in a valid IRI (space, control
+    * chars, and `<>"{}|\^` + backtick) are rejected. The reference's parser
+    * accepts ANY character except '>' inside `<...>` (lib.rs:941-957), but
+    * its producer then FAILS on such IRIs when oxiri parses them
+    * (triple_production.rs:247,341) — this check reproduces that
+    * produce-time error. Applied exactly where the reference applies oxiri:
+    * base parsing, and reference resolution WHEN a base is set; bare
+    * IRIREFs with no base pass through unvalidated
+    * (triple_production.rs:339-342). */
+  def invalidChar(s: String): Option[Char] =
+    s.find(c => c == ' ' || Character.isISOControl(c) ||
+      c == '<' || c == '>' || c == '"' || c == '{' || c == '}' ||
+      c == '|' || c == '\\' || c == '^' || c == '`')
+
   /** Validate + parse a base IRI (mirrors oxiri Iri::parse failing on
     * relative input — triple_production.rs:247). */
   def parseBase(s: String): Either[String, IriParts] = {
+    invalidChar(s) match {
+      case Some(c) => return Left(s"Invalid base IRI (character '$c' not allowed): $s")
+      case None    => ()
+    }
     val p = split(s)
     if (p.scheme.isEmpty) Left(s"Invalid base IRI (no scheme): $s")
     else Right(p)
   }
 
-  /** RFC 3986 §5.2.2 transform references. */
+  /** RFC 3986 §5.2.2 transform references; Left on an invalid reference
+    * (mirrors oxiri base.resolve(ref) failing — triple_production.rs:341). */
+  def resolveChecked(base: IriParts, ref: String): Either[String, String] =
+    invalidChar(ref) match {
+      case Some(c) => Left(s"Invalid IRI reference (character '$c' not allowed): $ref")
+      case None    => Right(resolve(base, ref))
+    }
+
+  /** RFC 3986 §5.2.2 transform references (no validation — see
+    * [[resolveChecked]]). */
   def resolve(base: IriParts, ref: String): String = {
     val r = split(ref)
     val t =

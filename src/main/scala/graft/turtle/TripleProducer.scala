@@ -199,8 +199,8 @@ object TripleProducer {
     private def convertIri(iri: Iri): String = iri match {
       case IriRef(raw) =>
         baseUri match {
-          case None       => raw
-          case Some(base) => IriResolver.resolve(base, raw)
+          case None       => raw // no base → verbatim, unvalidated (triple_production.rs:339-342)
+          case Some(base) => IriResolver.resolveChecked(base, raw).fold(err, identity)
         }
       case PrefixedName(pfx, name) =>
         val ns = namespaces.getOrElse(pfx.getOrElse(""),

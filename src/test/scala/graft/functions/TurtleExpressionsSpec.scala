@@ -32,6 +32,36 @@ class TurtleExpressionsSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).forall(_.startsWith("v\t")))
   }
 
+  test("serialize_turtle: pure-SQL round-trip is byte-identical on the corpus") {
+    import spark.implicits._
+    graft.kg.FixtureCorpus.all.toSeq.toDF("name", "text")
+      .createOrReplaceTempView("t_corpus")
+    val out = spark.sql(
+      """SELECT name,
+                serialize_turtle(text) IS NULL AS unparsed,
+                serialize_turtle(text) = text AS identical
+         FROM t_corpus""").collect()
+    // the known must-fail fixture yields NULL; every parsed doc re-renders
+    // byte-identically (the reference's format-preservation contract, via SQL)
+    out.foreach { r =>
+      val name = r.getString(0)
+      if (name.endsWith("blank_node_object_dot.ttl")) assert(r.getBoolean(1), name)
+      else assert(!r.getBoolean(1) && r.getBoolean(2), name)
+    }
+  }
+
+  test("AST editing helpers: Whitespace.space and Verb.from") {
+    import graft.turtle.Ast
+    assert(Ast.Whitespace.space == " ")
+    val iri = Ast.IriRef("http://e.x/p")
+    assert(Ast.Verb.from(iri) == Ast.VerbIri(iri))
+    // editing use: rebuild a statement with normalized whitespace
+    val doc = graft.turtle.TurtleParser.parseFull("<http://a> <http://b> <http://c> .")
+      .toOption.get
+    val rendered = graft.turtle.TurtleSerializer.render(doc)
+    assert(rendered.contains(Ast.Whitespace.space))
+  }
+
   test("parse_turtle_triples generates triple rows from SQL") {
     import spark.implicits._
     Seq(

@@ -83,6 +83,24 @@ class KgPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(labels("a") == "a" && labels("b") == "a" && labels("c") == "a")
     assert(labels("x") == "x" && labels("y") == "x")
+    // the at-scale distributed loop must produce the identical labeling
+    val dist = Canonicalize.distributedCC(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dist == labels)
+  }
+
+  test("local and distributed CC agree on a chain (multi-iteration case)") {
+    import spark.implicits._
+    // a 12-vertex path graph needs several hash-min iterations; both paths
+    // must converge to min-vertex labeling
+    val vs = (0 until 12).map(i => f"v$i%02d")
+    val edges = vs.zip(vs.tail).toDF("src", "dst")
+    val local = Canonicalize.connectedComponents(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = Canonicalize.distributedCC(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(local == dist)
+    assert(vs.forall(v => local(v) == "v00"))
   }
 
   test("crashed write is idempotent: orphan bucket dirs are replaced on retry") {
