@@ -439,5 +439,22 @@ object SparkEntry {
          md5(array_to_string(list_filter(
            string_split_regex(lower(text), '[^a-z0-9]+'),
            x -> length(x) > 0), ' ')) AS fp
-         FROM documents""")
+         FROM documents""",
+    // brute-force cosine top-k is exactly expressible: DOUBLE[] casts make
+    // DuckDB's list_cosine_similarity accumulate in double like the Scala
+    // loop; trunc matches Spark's cast-to-long truncation semantics
+    "ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+                    FROM embeddings WHERE vec_id < 8),
+         s AS (SELECT q_id, e.vec_id,
+                 list_cosine_similarity(CAST(qv AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])) AS score
+               FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+         r AS (SELECT q_id, vec_id, score,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY score DESC, vec_id ASC) AS rnk
+               FROM s)
+         SELECT q_id, CAST(rnk AS BIGINT) AS rank, vec_id,
+                CAST(trunc(score * 1000) AS BIGINT) AS score_permille
+         FROM r WHERE rnk <= 10""")
 }
