@@ -53,13 +53,14 @@ object Bench {
     val dt = (System.nanoTime() - t0) / 1e9
     val (s1, t1j) = cpuJiffies()
     spark.stop()
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(out))
+    rmTree(new java.io.File(out))
     val steal = (s1 - s0).toDouble / math.max(1L, t1j - t0j)
     (dt, r.triples, steal)
+  }
+
+  private[graft] def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(); ()
   }
 
   def main(args: Array[String]): Unit = {
@@ -137,11 +138,7 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     spark.stop()
-    def rmAll(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmAll)
-      f.delete(); ()
-    }
-    rmAll(new java.io.File(stageDir))
+    rmTree(new java.io.File(stageDir))
 
     def f(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }

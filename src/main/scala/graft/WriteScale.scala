@@ -25,11 +25,7 @@ object WriteScale {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"WRITESCALE $tag cpus=$cpus%2d write_secs=$dt%7.2f")
       s.stop()
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(out))
+      Bench.rmTree(new java.io.File(out))
     }
 
     once(levels.max, 20000, "warmup")

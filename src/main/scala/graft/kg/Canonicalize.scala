@@ -27,7 +27,13 @@ object Canonicalize {
 
   /** sameAs edges from the triple stream (iri ↔ iri). Column-level filter
     * and projection so the scan over the staged parquet is pruned and the
-    * predicates are pushed down. */
+    * predicates are pushed down.
+    *
+    * NOT deduplicated here: both CC paths dedup internally (union-find is
+    * idempotent per edge; the distributed loop runs sym.distinct), and
+    * skipping the shuffle keeps this a pure narrow projection — which lets
+    * the size-gate probe in [[connectedComponents]] short-circuit its scan
+    * instead of paying a full upstream pass before the first row. */
   def sameAsEdges(triples: Dataset[TripleRow]): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
@@ -35,7 +41,6 @@ object Canonicalize {
       .filter($"error".isNull && $"pred" === PagesSource.SAME_AS &&
         $"obj_kind" === "iri" && $"subj_kind" === "iri")
       .select($"subj".as("src"), $"obj_value".as("dst"))
-      .distinct()
   }
 
   /** Size gate for the driver-local CC path: below this edge count the
@@ -58,8 +63,14 @@ object Canonicalize {
     *  - otherwise: distributed hash-min label propagation with AQE skew
     *    handling and lineage-truncating checkpoints.
     *
-    * The gate probes with limit(max+1).collect() — on the big path that
-    * scan short-circuits after finding max+1 rows. */
+    * The gate probes with limit(max+1).collect(). The probe's cost model
+    * depends on the edge plan: over a narrow projection (no shuffle —
+    * what [[sameAsEdges]] produces) CollectLimit executes partitions
+    * incrementally and genuinely short-circuits; if the caller passes an
+    * edge plan ending in a shuffle, the probe costs one full pass of that
+    * plan's map side. Raw (non-distinct) multiplicity counts against the
+    * gate, which only means a high-multiplicity-but-small graph routes to
+    * the distributed path — correct either way. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._

@@ -94,8 +94,11 @@ object EntityLinking {
     // dictionary bands are a pure function of the vocabulary — computed
     // DISTRIBUTED (a real linker dictionary has 10^7 surfaces; collecting
     // it to the driver to band it would bottleneck driver memory and
-    // serialization), then the still-vocabulary-bounded result is broadcast
-    // at the join below
+    // serialization). No forced broadcast on the band join either: a
+    // forced hint would pull NUM_BANDS×|dict| rows through the driver —
+    // the same at-scale OOM class the hint removal elsewhere fixes. AQE
+    // broadcasts when runtime stats fit the threshold (they do for small
+    // dictionaries), else shuffles both band-keyed sides.
     val dictBands = dict.flatMap { dEntry =>
       bands(minhash(shingles(dEntry.surface))).iterator.map { case (b, h) =>
         (dEntry.surface, dEntry.entity_iri, b, h)
@@ -107,7 +110,7 @@ object EntityLinking {
     // best entity per distinct norm (deterministic: lexicographic max of
     // (jaccard, entity)); vocabulary-bounded → broadcast back to mentions
     val bestPerNormPlan = normBands
-      .join(broadcast(dictBands), Seq("band", "bandhash"))
+      .join(dictBands, Seq("band", "bandhash"))
       .select($"norm", $"dict_surface", $"cand_iri").distinct()
       .withColumn("jaccard", jac($"norm", $"dict_surface"))
       .filter($"jaccard" >= JACCARD_THRESHOLD)

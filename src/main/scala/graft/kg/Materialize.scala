@@ -62,7 +62,8 @@ object Materialize {
   /** Write buckets not yet present in the manifest; returns lineage rows.
     *
     * @param numBuckets 0 = auto (manifest value if resuming, else
-    *                   max(NUM_BUCKETS, 2×defaultParallelism))
+    *                   max(NUM_BUCKETS, 8×defaultParallelism) — see
+    *                   [[autoBuckets]] for why 8)
     * @param commitGroups number of manifest commit points across the
     *                   pending buckets (resume granularity) */
   def write(triples: DataFrame, outDir: String, numBuckets: Int = 0,
@@ -122,8 +123,13 @@ object Materialize {
         group.foreach { b =>
           val src = new Path(s"$staging/triples/bucket=$b")
           if (hfs.exists(src)) {
-            hfs.rename(src, new Path(s"$outDir/triples/bucket=$b"))
-            ()
+            // Hadoop FileSystem.rename reports most failures by returning
+            // false, not throwing — a bucket must NEVER be recorded
+            // committed without its data in place
+            val dst = new Path(s"$outDir/triples/bucket=$b")
+            if (!hfs.rename(src, dst))
+              throw new java.io.IOException(
+                s"bucket commit rename failed: $src -> $dst")
           }
           // a bucket with zero rows stages no dir; it is still committed
         }
@@ -168,11 +174,19 @@ object Materialize {
     lineage
   }
 
+  /** Hadoop conf for manifest IO: the ACTIVE session's conf when one exists
+    * (so the manifest resolves to the same filesystem as the data it
+    * commits — fs.defaultFS / credentials come from spark.hadoop.*), plain
+    * defaults otherwise (driver-less tests/tools). */
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   /** Manifest = commit point. Written to a temp file then atomically renamed. */
   def writeManifest(outDir: String, numBuckets: Int, buckets: Set[Int]): Unit = {
-    val conf = new org.apache.hadoop.conf.Configuration()
     val p = new Path(outDir)
-    val hfs = p.getFileSystem(conf)
+    val hfs = p.getFileSystem(hadoopConf)
     hfs.mkdirs(p)
     val json =
       s"""{"format":"graft-triples-v1","numBuckets":$numBuckets,"completedBuckets":[${buckets.toSeq.sorted.mkString(",")}]}"""
@@ -181,8 +195,8 @@ object Materialize {
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val dst = new Path(outDir, "_manifest.json")
     hfs.delete(dst, false)
-    hfs.rename(tmp, dst)
-    ()
+    if (!hfs.rename(tmp, dst))
+      throw new java.io.IOException(s"manifest commit rename failed: $tmp -> $dst")
   }
 
   /** Back-compat helper used by tests: manifest with the default layout. */
@@ -193,9 +207,8 @@ object Materialize {
 
   /** (numBuckets if a manifest exists, completed buckets). */
   def readManifestFull(outDir: String): (Option[Int], Set[Int]) = {
-    val conf = new org.apache.hadoop.conf.Configuration()
     val f = new Path(outDir, "_manifest.json")
-    val hfs = f.getFileSystem(conf)
+    val hfs = f.getFileSystem(hadoopConf)
     if (!hfs.exists(f)) (None, Set.empty)
     else {
       val in = hfs.open(f)

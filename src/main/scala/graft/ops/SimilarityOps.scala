@@ -25,7 +25,10 @@ object SimilarityOps {
     var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) {
-      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      // widen BEFORE multiplying: float×float products round differently
+      // and would break bit-equality with the double-accumulating oracle
+      val ai = a(i).toDouble; val bi = b(i).toDouble
+      dot += ai * bi; na += ai * ai; nb += bi * bi; i += 1
     }
     if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }

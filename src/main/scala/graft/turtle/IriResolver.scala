@@ -80,12 +80,34 @@ object IriResolver {
       c == '<' || c == '>' || c == '"' || c == '{' || c == '}' ||
       c == '|' || c == '\\' || c == '^' || c == '`')
 
+  /** RFC 3986 §2.1: every '%' must start a pct-encoded triplet
+    * (`% HEXDIG HEXDIG`) — oxiri validates this in its grammar. */
+  def invalidPctEncoding(s: String): Boolean = {
+    var i = s.indexOf('%')
+    while (i >= 0) {
+      if (i + 2 >= s.length ||
+        Character.digit(s.charAt(i + 1), 16) < 0 ||
+        Character.digit(s.charAt(i + 2), 16) < 0) return true
+      i = s.indexOf('%', i + 3)
+    }
+    false
+  }
+
+  private def validate(s: String, what: String): Option[String] =
+    invalidChar(s) match {
+      case Some(c) => Some(s"Invalid $what (character '$c' not allowed): $s")
+      case None =>
+        if (invalidPctEncoding(s))
+          Some(s"Invalid $what (malformed percent-encoding): $s")
+        else None
+    }
+
   /** Validate + parse a base IRI (mirrors oxiri Iri::parse failing on
     * relative input — triple_production.rs:247). */
   def parseBase(s: String): Either[String, IriParts] = {
-    invalidChar(s) match {
-      case Some(c) => return Left(s"Invalid base IRI (character '$c' not allowed): $s")
-      case None    => ()
+    validate(s, "base IRI") match {
+      case Some(msg) => return Left(msg)
+      case None      => ()
     }
     val p = split(s)
     if (p.scheme.isEmpty) Left(s"Invalid base IRI (no scheme): $s")
@@ -95,9 +117,9 @@ object IriResolver {
   /** RFC 3986 §5.2.2 transform references; Left on an invalid reference
     * (mirrors oxiri base.resolve(ref) failing — triple_production.rs:341). */
   def resolveChecked(base: IriParts, ref: String): Either[String, String] =
-    invalidChar(ref) match {
-      case Some(c) => Left(s"Invalid IRI reference (character '$c' not allowed): $ref")
-      case None    => Right(resolve(base, ref))
+    validate(ref, "IRI reference") match {
+      case Some(msg) => Left(msg)
+      case None      => Right(resolve(base, ref))
     }
 
   /** RFC 3986 §5.2.2 transform references (no validation — see

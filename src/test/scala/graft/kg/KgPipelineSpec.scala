@@ -103,6 +103,30 @@ class KgPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vs.forall(v => local(v) == "v00"))
   }
 
+  test("canonicalizeTriples size-gates the label join (no forced broadcast)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val triples = TripleExtraction.run(PagesSource.pages(spark, 50))
+    // corpus-scale labels (estimated size >> autoBroadcastJoinThreshold):
+    // the plan must NOT hard-code a broadcast — a forced hint here is a
+    // driver OOM at 100 TB (round-1 verdict)
+    val big = spark.range(0, 5000000L)
+      .select(concat(lit("http://kb.example/entity/"), $"id").as("id"),
+        concat(lit("http://kb.example/canon/"), $"id").as("canonical"))
+    val bigPlan = Canonicalize.canonicalizeTriples(triples, big)
+      .queryExecution.sparkPlan.toString
+    assert(bigPlan.contains("SortMergeJoin"), bigPlan.take(600))
+    assert(!bigPlan.contains("BroadcastHashJoin"), bigPlan.take(600))
+
+    // vocabulary-scale labels (local relation with known tiny size) must
+    // still broadcast — the planner sees real stats, no hint needed
+    val tiny = Seq(("http://kb.example/entity/1", "http://kb.example/canon/1"))
+      .toDF("id", "canonical")
+    val tinyPlan = Canonicalize.canonicalizeTriples(triples, tiny)
+      .queryExecution.sparkPlan.toString
+    assert(tinyPlan.contains("BroadcastHashJoin"), tinyPlan.take(600))
+  }
+
   test("crashed write is idempotent: orphan bucket dirs are replaced on retry") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("graft-resume").toString

@@ -104,7 +104,8 @@ fn split(s: &str) -> Parts {
 }
 
 /// Character-level IRI validation (approximates oxiri's RFC 3987 grammar
-/// check): rejects characters that can never appear in a valid IRI.
+/// check): rejects characters that can never appear in a valid IRI, and
+/// malformed percent-encoding (RFC 3986 §2.1: `%` must start `%HH`).
 fn validate_chars(s: &str) -> Result<(), IriParseError> {
     for c in s.chars() {
         if c == ' '
@@ -115,6 +116,24 @@ fn validate_chars(s: &str) -> Result<(), IriParseError> {
                 "character {:?} is not allowed in an IRI: {}",
                 c, s
             )));
+        }
+    }
+    let bytes = s.as_bytes();
+    let mut i = 0;
+    while i < bytes.len() {
+        if bytes[i] == b'%' {
+            if i + 2 >= bytes.len()
+                || !bytes[i + 1].is_ascii_hexdigit()
+                || !bytes[i + 2].is_ascii_hexdigit()
+            {
+                return Err(IriParseError(format!(
+                    "malformed percent-encoding in IRI: {}",
+                    s
+                )));
+            }
+            i += 3;
+        } else {
+            i += 1;
         }
     }
     Ok(())
