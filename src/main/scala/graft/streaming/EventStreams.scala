@@ -111,4 +111,18 @@ object EventStreams {
     import spark.implicits._
     pages.flatMap(graft.kg.TripleExtraction.triplesForPage _).toDF()
   }
+
+  /** Streaming exact dedup for a document stream `(doc_id, ts, text)`:
+    * keeps the FIRST document per content fingerprint inside the watermark
+    * horizon. dropDuplicatesWithinWatermark bounds the dedup state by the
+    * watermark (an unbounded-stream requirement — a plain dropDuplicates
+    * would accumulate one state row per distinct document forever); the
+    * fingerprint column keeps state rows at 32 bytes instead of full texts.
+    * The training-data shape: continuous crawl ingestion where re-fetched
+    * boilerplate must not re-enter the corpus. */
+  def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
 }

@@ -75,6 +75,31 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup keeps first doc per fingerprint within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = streamingDedup(docs, "120 minutes")
+      .writeStream.format("memory").queryName("sd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, ts(5), "the quick brown fox"),
+        (2L, ts(6), "The QUICK, brown fox"), // same normalized fingerprint
+        (3L, ts(7), "an entirely different document"))
+      query.processAllAvailable()
+      input.addData(
+        (4L, ts(20), "the quick brown fox")) // duplicate inside watermark
+      query.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM sd").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(3L))
+      // exactly one of the fox duplicates survives, and it is the first seen
+      assert(ids.intersect(Set(1L, 2L, 4L)) == Set(1L), ids)
+    } finally query.stop()
+  }
+
   test("streaming triple extraction over a pages stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
