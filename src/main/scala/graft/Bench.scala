@@ -67,14 +67,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpusHigh = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val cpusLow = math.max(cpusHigh / 4, 1)
-    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt
     val nQueries = PagesSource.countForSfDir(sfDir)
     // The SCALING measurement needs parallel work >> the fixed per-job
-    // orchestration floor (~10 s of scheduler/barrier/commit cost that
-    // shrinks with neither cores nor data) or the efficiency ratio measures
-    // the floor, not the engine. The pipeline input is scaled up for the
-    // two-level comparison only; per-query timings keep the sf page count.
-    val scaleMult = sys.env.getOrElse("GRAFT_BENCH_SCALE", "4").toInt
+    // orchestration floor (scheduler/barrier/commit cost that shrinks with
+    // neither cores nor data) or the efficiency ratio measures the floor,
+    // not the engine. The pipeline input is scaled up for the two-level
+    // comparison only; per-query timings keep the sf page count. Measured
+    // 2x/4x/8x inputs give the same ratio (0.38-0.47 across weather
+    // windows), so 2x is the default: amortizes the floor while keeping
+    // the whole bench inside a bounded wall-clock budget.
+    val scaleMult = sys.env.getOrElse("GRAFT_BENCH_SCALE", "2").toInt
     val n = nQueries * scaleMult
 
     // JIT warmup: a small pipeline run so the first measured run doesn't

@@ -237,6 +237,8 @@ object SparkEntry {
       SimilarityOps.bruteForceTopK(t(s, d, "embeddings"), 8, 10)),
     "ann_lsh_topk" -> ((s, d) =>
       SimilarityOps.lshTopK(t(s, d, "embeddings"), 8, 10)),
+    "ann_ivf_topk" -> ((s, d) =>
+      SimilarityOps.ivfTopK(t(s, d, "embeddings"), 8, 10)),
 
     // --- multimodal plumbing (stubbed decode, real Spark shape) ---
     "mm_features" -> ((s, d) => {

@@ -20,6 +20,19 @@ import graft.kg.PagesSource.mix64
   */
 object SimilarityOps {
 
+  /** Index of the max-cosine centroid for `v` (first wins ties). */
+  def nearestCell(cs: Array[Array[Float]], v: Array[Float]): Int = {
+    var best = 0
+    var bestScore = Double.MinValue
+    var c = 0
+    while (c < cs.length) {
+      val s = cosine(cs(c), v)
+      if (s > bestScore) { bestScore = s; best = c }
+      c += 1
+    }
+    best
+  }
+
   def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -122,6 +135,81 @@ object SimilarityOps {
               hit
             }
           }
+          .map { case (qid, qv, _) => (qid, id, cosine(qv, v)) }
+      }
+    }.toDF("q_id", "vec_id", "score")
+
+    topKPerQuery(scored, k)
+  }
+
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: a small
+    * k-means codebook (nlist cells) is trained distributed, every corpus
+    * vector is assigned to its nearest cell ONCE, and each query probes
+    * only its `nprobe` nearest cells — corpus-side cosine work drops to
+    * ~nprobe/nlist of brute force while the codebook (nlist × dim floats)
+    * stays trivially broadcastable.
+    *
+    * Training is Lloyd's algorithm with DETERMINISTIC init (the first
+    * `nlist` vectors by id): each iteration is one typed reduceGroups
+    * (map-side partial sums — one shuffle of nlist×dim doubles per
+    * iteration, independent of corpus size). At 10^9 vectors a deployment
+    * trains on a sample; the assignment pass and probe math are unchanged.
+    * Same output shape as [[bruteForceTopK]]. */
+  def ivfTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10,
+      nlist: Int = 32, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    val vecs = embeddings.select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
+
+    var centroids: Array[Array[Float]] =
+      vecs.filter(_._1 < nlist).collect().sortBy(_._1).map(_._2)
+
+    var it = 0
+    while (it < iters) {
+      val cb = spark.sparkContext.broadcast(centroids)
+      val updated = vecs
+        .groupByKey { case (_, v) => nearestCell(cb.value, v) }
+        .mapValues { case (_, v) =>
+          val acc = new Array[Double](v.length)
+          var i = 0
+          while (i < v.length) { acc(i) = v(i); i += 1 }
+          (acc, 1L)
+        }
+        .reduceGroups { (a, b) =>
+          var i = 0
+          while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+          (a._1, a._2 + b._2)
+        }
+        .collect()
+      val next = centroids.clone()
+      updated.foreach { case (cell, (sum, n)) =>
+        next(cell) = sum.map(x => (x / n).toFloat)
+      }
+      centroids = next
+      cb.destroy()
+      it += 1
+    }
+
+    val queries = vecs.filter(_._1 < numQueries).collect().sortBy(_._1)
+    val cFinal = centroids
+    val qProbes = queries.map { case (qid, qv) =>
+      val byScore = cFinal.zipWithIndex
+        .map { case (c, i) => (cosine(c, qv), i) }
+        .sortBy { case (s, i) => (-s, i) }
+        .take(nprobe).map(_._2).toSet
+      (qid, qv, byScore)
+    }
+    val qB = spark.sparkContext.broadcast(qProbes)
+    val cB = spark.sparkContext.broadcast(cFinal)
+
+    val scored = vecs.mapPartitions { iterRows =>
+      val qs = qB.value
+      val cs = cB.value
+      iterRows.flatMap { case (id, v) =>
+        val cell = nearestCell(cs, v)
+        qs.iterator
+          .filter { case (qid, _, probes) => qid != id && probes.contains(cell) }
           .map { case (qid, qv, _) => (qid, id, cosine(qv, v)) }
       }
     }.toDF("q_id", "vec_id", "score")

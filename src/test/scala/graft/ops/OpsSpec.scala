@@ -92,6 +92,26 @@ class OpsSpec extends AnyFunSuite {
     assert(mean >= 0.4, s"mean top-10 overlap $mean too low: $overlaps")
   }
 
+  test("IVF ANN has reasonable top-10 overlap with brute force") {
+    import spark.implicits._
+    val brute = SimilarityOps.bruteForceTopK(embs, 8, 10)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = SimilarityOps.ivfTopK(embs, 8, 10)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // nprobe/nlist = 1/8 of the corpus scanned; require mean overlap >= 0.4
+    // (coarse quantization trades recall for the 8x candidate cut; exact
+    // duplicates and tight clusters are what IVF must retain)
+    val overlaps = brute.keys.toSeq.sorted.map { q =>
+      brute(q).intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / 10
+    }
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.4, s"mean overlap $mean: $overlaps")
+    // every query must at least return a full candidate list
+    assert(ivf.values.forall(_.size == 10))
+  }
+
   test("embedding dedup finds scaled copies (cosine 1.0)") {
     import spark.implicits._
     val base = embs.select($"vec_id", $"embedding")
