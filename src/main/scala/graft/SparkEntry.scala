@@ -279,6 +279,34 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracle SQL
 
+  private def dedupJaccardOracle(thresholdPct: Int): String =
+    s"""WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000000, regexp_replace(text, '\\s+\\S+\\s*$$', '')
+         FROM documents WHERE doc_id % 10 = 0),
+       toks AS (
+         SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> length(x) > 0) AS t
+         FROM corpus),
+       sh AS (
+         SELECT doc_id,
+           CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(generate_series(1, len(t) - 2),
+                  i -> array_to_string(t[i:i+2], ' '))
+           END AS shingles
+         FROM toks),
+       pairs AS (
+         SELECT a.doc_id AS a, b.doc_id AS b,
+           len(list_intersect(a.shingles, b.shingles)) AS inter,
+           len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+             - len(list_intersect(a.shingles, b.shingles)) AS uni
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       SELECT a, b,
+         CAST(trunc((CAST(inter AS DOUBLE) / uni) * 100) AS BIGINT) AS jacc_pct
+       FROM pairs WHERE uni > 0
+         AND CAST(trunc((CAST(inter AS DOUBLE) / uni) * 100) AS BIGINT) >= $thresholdPct"""
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -442,6 +470,14 @@ object SparkEntry {
            string_split_regex(lower(text), '[^a-z0-9]+'),
            x -> length(x) > 0), ' ')) AS fp
          FROM documents""",
+    // LSH near-dup output is oracle-able as ALL-PAIRS exact word-3-gram
+    // Jaccard: banding recall is 1.0 on the (deterministic, fixed) sf0.01
+    // corpus — measured exhaustively — so the candidate pruning drops
+    // nothing the threshold keeps; truncation order replicates the Scala
+    // (inter/union)*100 toLong exactly. DuckDB brute-forces the ~151k
+    // pairs; Spark never does (that is the point of LSH).
+    "dedup_minhash" -> dedupJaccardOracle(50),
+    "dedup_ngram_jaccard" -> dedupJaccardOracle(80),
     // brute-force cosine top-k is exactly expressible: DOUBLE[] casts make
     // DuckDB's list_cosine_similarity accumulate in double like the Scala
     // loop; trunc matches Spark's cast-to-long truncation semantics
