@@ -478,6 +478,24 @@ object SparkEntry {
     // pairs; Spark never does (that is the point of LSH).
     "dedup_minhash" -> dedupJaccardOracle(50),
     "dedup_ngram_jaccard" -> dedupJaccardOracle(80),
+    // embedding near-dup: all-pairs cosine in DuckDB (multi-table SRP
+    // recall is 1.0 for the scaled-copy duplicates, which collide in every
+    // table); ROUNDED permille — duplicates sit exactly at cosine 1.0,
+    // where truncation is ulp-fragile across engines
+    "dedup_embedding" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000000,
+                  list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT))
+           FROM embeddings WHERE vec_id % 10 = 0),
+         pairs AS (
+           SELECT a.vec_id AS a, b.vec_id AS b,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cos
+           FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+         SELECT a, b, CAST(round(cos * 1000) AS BIGINT) AS cos_permille
+         FROM pairs WHERE CAST(round(cos * 1000) AS BIGINT) >= 950""",
     // brute-force cosine top-k is exactly expressible: DOUBLE[] casts make
     // DuckDB's list_cosine_similarity accumulate in double like the Scala
     // loop; trunc matches Spark's cast-to-long truncation semantics

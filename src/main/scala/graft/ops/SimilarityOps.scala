@@ -255,7 +255,11 @@ object SimilarityOps {
       .select($"a", $"b", $"va", $"vb")
       .as[(Long, Long, Array[Float], Array[Float])]
 
-    pairs.map { case (a, b, va, vb) => (a, b, (cosine(va, vb) * 1000).toLong) }
+    // ROUND (not truncate) the permille: true duplicates sit at cosine
+    // ~1.0 exactly where engine-level ulp differences flip a truncation
+    // (1.0 vs 0.9999999 → 1000 vs 999); rounding puts the boundary half a
+    // permille away from the duplicate population
+    pairs.map { case (a, b, va, vb) => (a, b, math.round(cosine(va, vb) * 1000)) }
       .toDF("a", "b", "cos_permille")
       .filter($"cos_permille" >= (minCos * 1000).toLong)
   }
