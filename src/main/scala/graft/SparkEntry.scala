@@ -307,6 +307,60 @@ object SparkEntry {
        FROM pairs WHERE uni > 0
          AND CAST(trunc((CAST(inter AS DOUBLE) / uni) * 100) AS BIGINT) >= $thresholdPct"""
 
+  /** simhash64 in DuckDB SQL: wrapping 64-bit arithmetic via UBIGINT with
+    * HUGEINT split multiplication (a*C mod 2^64 = lo32(a)*C + (hi32(a)*C
+    * mod 2^32)<<32, all within INT128 range). Corpus text is ASCII, so
+    * Scala's UTF-16-unit FNV equals the codepoint FNV here. */
+  private def simhashOracle: String = {
+    def mulmod(a: String, c: String): String =
+      s"(( (($a) % 4294967296) * $c + " +
+        s"((( ($a) // 4294967296) * $c) % 4294967296) * 4294967296 ) % 18446744073709551616)"
+    val z0 = "((CAST(fh AS HUGEINT) + 11400714819323198485) % 18446744073709551616)"
+    val z0u = s"CAST($z0 AS UBIGINT)"
+    val z1 = mulmod(s"CAST(xor($z0u, $z0u >> 30) AS HUGEINT)", "13787848793156543929")
+    val z1u = s"CAST($z1 AS UBIGINT)"
+    val z2 = mulmod(s"CAST(xor($z1u, $z1u >> 27) AS HUGEINT)", "10723151780598845931")
+    val z2u = s"CAST($z2 AS UBIGINT)"
+    val mix = s"xor($z2u, $z2u >> 31)"
+    s"""WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000000, regexp_replace(text, '\\s+\\S+\\s*$$', '')
+         FROM documents WHERE doc_id % 10 = 0),
+       toks AS (
+         SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> length(x) > 0)) AS tok
+         FROM corpus),
+       fnv AS (
+         SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(14695981039346656037 AS UBIGINT),
+               list_transform(range(1, length(tok) + 1),
+                 i -> CAST(unicode(tok[i]) AS UBIGINT))),
+             (h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211)
+                            % 18446744073709551616 AS UBIGINT)
+           ) AS fh
+         FROM toks),
+       mixed AS (SELECT doc_id, $mix AS h FROM fnv),
+       votes AS (
+         SELECT doc_id, b.b AS bit,
+           sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         FROM mixed, (SELECT unnest(range(0, 64)) AS b) b
+         GROUP BY doc_id, b.b),
+       sigs AS (
+         SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << bit
+                         ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sig
+         FROM votes GROUP BY doc_id),
+       pairs AS (
+         SELECT a.doc_id AS a, b.doc_id AS b,
+                bit_count(xor(a.sig, b.sig)) AS hamming
+         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+       SELECT a, b, CAST(hamming AS BIGINT) AS hamming
+       FROM pairs WHERE hamming <= 3"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -478,6 +532,12 @@ object SparkEntry {
     // pairs; Spark never does (that is the point of LSH).
     "dedup_minhash" -> dedupJaccardOracle(50),
     "dedup_ngram_jaccard" -> dedupJaccardOracle(80),
+    // SimHash verified end-to-end in pure SQL: FNV-1a + the splitmix64
+    // finalizer re-implemented with mod-2^64 arithmetic (UBIGINT + HUGEINT
+    // split multiplication), per-token bit votes, then ALL-PAIRS Hamming —
+    // recall of the 4x16-bit banding is 1.0 BY CONSTRUCTION for
+    // Hamming <= 3 (pigeonhole), so the all-pairs oracle is exactly equal.
+    "dedup_simhash" -> simhashOracle,
     // embedding near-dup: all-pairs cosine in DuckDB (multi-table SRP
     // recall is 1.0 for the scaled-copy duplicates, which collide in every
     // table); ROUNDED permille — duplicates sit exactly at cosine 1.0,
