@@ -312,16 +312,7 @@ object SparkEntry {
     * mod 2^32)<<32, all within INT128 range). Corpus text is ASCII, so
     * Scala's UTF-16-unit FNV equals the codepoint FNV here. */
   private def simhashOracle: String = {
-    def mulmod(a: String, c: String): String =
-      s"(( (($a) % 4294967296) * $c + " +
-        s"((( ($a) // 4294967296) * $c) % 4294967296) * 4294967296 ) % 18446744073709551616)"
-    val z0 = "((CAST(fh AS HUGEINT) + 11400714819323198485) % 18446744073709551616)"
-    val z0u = s"CAST($z0 AS UBIGINT)"
-    val z1 = mulmod(s"CAST(xor($z0u, $z0u >> 30) AS HUGEINT)", "13787848793156543929")
-    val z1u = s"CAST($z1 AS UBIGINT)"
-    val z2 = mulmod(s"CAST(xor($z1u, $z1u >> 27) AS HUGEINT)", "10723151780598845931")
-    val z2u = s"CAST($z2 AS UBIGINT)"
-    val mix = s"xor($z2u, $z2u >> 31)"
+    val mix = splitmixSql("fh")
     s"""WITH corpus AS (
          SELECT doc_id, text FROM documents
          UNION ALL
@@ -360,6 +351,121 @@ object SparkEntry {
        SELECT a, b, CAST(hamming AS BIGINT) AS hamming
        FROM pairs WHERE hamming <= 3"""
   }
+
+  /** Shared SQL for the splitmix64 finalizer over `xor(base, seed)` —
+    * mod-2^64 arithmetic as in [[simhashOracle]]. */
+  private def splitmixSql(inputExpr: String): String = {
+    def mulmod(a: String, c: String): String =
+      s"(( (($a) % 4294967296) * $c + " +
+        s"((( ($a) // 4294967296) * $c) % 4294967296) * 4294967296 ) % 18446744073709551616)"
+    val z0 = s"((CAST($inputExpr AS HUGEINT) + 11400714819323198485) % 18446744073709551616)"
+    val z0u = s"CAST($z0 AS UBIGINT)"
+    val z1 = mulmod(s"CAST(xor($z0u, $z0u >> 30) AS HUGEINT)", "13787848793156543929")
+    val z1u = s"CAST($z1 AS UBIGINT)"
+    val z2 = mulmod(s"CAST(xor($z1u, $z1u >> 27) AS HUGEINT)", "10723151780598845931")
+    val z2u = s"CAST($z2 AS UBIGINT)"
+    s"xor($z2u, $z2u >> 31)"
+  }
+
+  private def groupSignatureOracle: String = {
+    def mulmod(a: String, c: String): String =
+      s"(( (($a) % 4294967296) * $c + " +
+        s"((( ($a) // 4294967296) * $c) % 4294967296) * 4294967296 ) % 18446744073709551616)"
+    val seed = mulmod("CAST(s.slot AS HUGEINT)", "11400714819323198485")
+    s"""WITH toks AS (
+         SELECT doc_id, source, list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> length(x) > 0) AS t
+         FROM documents),
+       sh AS (
+         SELECT doc_id, source,
+           unnest(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(generate_series(1, len(t) - 2),
+                  i -> array_to_string(t[i:i+2], ' '))
+           END) AS shingle
+         FROM toks),
+       fnv AS (
+         SELECT source, shingle,
+           list_reduce(
+             list_prepend(CAST(14695981039346656037 AS UBIGINT),
+               list_transform(range(1, length(shingle) + 1),
+                 i -> CAST(unicode(shingle[i]) AS UBIGINT))),
+             (h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211)
+                            % 18446744073709551616 AS UBIGINT)
+           ) AS base
+         FROM sh),
+       slotted AS (
+         SELECT source, base, s.slot,
+           CAST($seed AS UBIGINT) AS seed
+         FROM fnv, (SELECT unnest(range(0, 16)) AS slot) s),
+       hashed AS (
+         SELECT source, slot, ${splitmixSql("xor(base, seed)")} AS hu FROM slotted),
+       signedh AS (
+         SELECT source, slot,
+           CAST(CASE WHEN hu >= 9223372036854775808
+                THEN CAST(hu AS HUGEINT) - 18446744073709551616
+                ELSE CAST(hu AS HUGEINT) END AS BIGINT) AS hv
+         FROM hashed)
+       SELECT source, CAST(slot AS INT) AS slot, min(hv) AS min_hash
+       FROM signedh GROUP BY source, slot"""
+  }
+
+  /** Winnowing (TextOps.winnow, k=8 w=16) as pure SQL: three cases exactly
+    * as the Scala — normalized text shorter than k → one FNV fingerprint;
+    * k-gram count n ≤ w → one min; else the rightmost-min of each sliding
+    * window (signed 64-bit compares). */
+  private def winnowOracle: String =
+    """WITH norm AS (
+         SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+         FROM documents),
+       caseA AS (
+         SELECT doc_id,
+           CAST(CASE WHEN hu >= 9223372036854775808
+                THEN CAST(hu AS HUGEINT) - 18446744073709551616
+                ELSE CAST(hu AS HUGEINT) END AS BIGINT) AS fp
+         FROM (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                 list_transform(range(1, length(s) + 1),
+                   i -> CAST(unicode(s[i]) AS UBIGINT))),
+               (h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211)
+                              % 18446744073709551616 AS UBIGINT)
+             ) AS hu
+           FROM norm WHERE length(s) < 8)),
+       grams AS (
+         SELECT doc_id, gp,
+           CAST(CASE WHEN hu >= 9223372036854775808
+                THEN CAST(hu AS HUGEINT) - 18446744073709551616
+                ELSE CAST(hu AS HUGEINT) END AS BIGINT) AS hv
+         FROM (
+           SELECT n.doc_id, lat.gp,
+             list_reduce(
+               list_prepend(CAST(0 AS UBIGINT),
+                 list_transform(range(1, 9),
+                   j -> CAST(unicode(n.s[lat.gp + j]) AS UBIGINT))),
+               (h, c) -> CAST(((CAST(h AS HUGEINT) * 1000003) + c)
+                              % 18446744073709551616 AS UBIGINT)
+             ) AS hu
+           FROM norm n, LATERAL (SELECT unnest(range(0, length(n.s) - 7)) AS gp) lat
+           WHERE length(n.s) >= 8)),
+       counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+       caseB AS (
+         SELECT g.doc_id, min(g.hv) AS fp
+         FROM grams g JOIN counts c USING (doc_id)
+         WHERE c.n <= 16 GROUP BY g.doc_id),
+       winmin AS (
+         SELECT g.doc_id, w.i, g.gp, g.hv,
+           row_number() OVER (PARTITION BY g.doc_id, w.i
+             ORDER BY g.hv ASC, g.gp DESC) AS rn
+         FROM counts c
+         JOIN LATERAL (SELECT unnest(range(0, c.n - 15)) AS i) w ON c.n > 16
+         JOIN grams g ON g.doc_id = c.doc_id AND g.gp BETWEEN w.i AND w.i + 15),
+       caseC AS (
+         SELECT DISTINCT doc_id, gp, hv FROM winmin WHERE rn = 1)
+       SELECT doc_id, fp FROM caseA
+       UNION ALL SELECT doc_id, fp FROM caseB
+       UNION ALL SELECT doc_id, hv AS fp FROM caseC"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -538,6 +644,16 @@ object SparkEntry {
     // recall of the 4x16-bit banding is 1.0 BY CONSTRUCTION for
     // Hamming <= 3 (pigeonhole), so the all-pairs oracle is exactly equal.
     "dedup_simhash" -> simhashOracle,
+    // group MinHash sketch verified in SQL: per-shingle FNV base, 16
+    // slot-seeded splitmix64 hashes, SIGNED 64-bit minima per (source,slot)
+    // — the mergeable-Aggregator output equals a global min by definition
+    "dedup_group_signature" -> groupSignatureOracle,
+    // winnowing verified in SQL: k-gram polynomial hashes (wrapping 64-bit),
+    // rightmost-min of every sliding window via row_number ordered
+    // (hash ASC, pos DESC), distinct selected positions — equals the
+    // sequential minIdx!=last dedup because the rightmost-min index is
+    // non-decreasing as the window slides
+    "text_winnow" -> winnowOracle,
     // embedding near-dup: all-pairs cosine in DuckDB (multi-table SRP
     // recall is 1.0 for the scaled-copy duplicates, which collide in every
     // table); ROUNDED permille — duplicates sit exactly at cosine 1.0,
