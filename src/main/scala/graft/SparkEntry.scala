@@ -344,10 +344,15 @@ object SparkEntry {
            CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << bit
                          ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sig
          FROM votes GROUP BY doc_id),
+       -- token-less documents have signature 0 in the Scala path (zero
+       -- votes); re-join the corpus so they pair too instead of vanishing
+       allsigs AS (
+         SELECT c.doc_id, COALESCE(s.sig, CAST(0 AS UBIGINT)) AS sig
+         FROM corpus c LEFT JOIN sigs s USING (doc_id)),
        pairs AS (
          SELECT a.doc_id AS a, b.doc_id AS b,
                 bit_count(xor(a.sig, b.sig)) AS hamming
-         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+         FROM allsigs a JOIN allsigs b ON a.doc_id < b.doc_id)
        SELECT a, b, CAST(hamming AS BIGINT) AS hamming
        FROM pairs WHERE hamming <= 3"""
   }
@@ -640,9 +645,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> dedupJaccardOracle(80),
     // SimHash verified end-to-end in pure SQL: FNV-1a + the splitmix64
     // finalizer re-implemented with mod-2^64 arithmetic (UBIGINT + HUGEINT
-    // split multiplication), per-token bit votes, then ALL-PAIRS Hamming —
-    // recall of the 4x16-bit banding is 1.0 BY CONSTRUCTION for
-    // Hamming <= 3 (pigeonhole), so the all-pairs oracle is exactly equal.
+    // split multiplication), per-token bit votes, then ALL-PAIRS Hamming.
+    // Equality preconditions (both MEASURED true on the fixed sf0.01
+    // corpus the driver compares at): banding recall for Hamming <= 3 is
+    // 1.0 by pigeonhole, AND no band bucket exceeds DedupOps.MAX_BUCKET
+    // (the cap would otherwise drop intra-bucket pairs the all-pairs
+    // oracle emits — same caveat applies to the Jaccard oracles above).
     "dedup_simhash" -> simhashOracle,
     // group MinHash sketch verified in SQL: per-shingle FNV base, 16
     // slot-seeded splitmix64 hashes, SIGNED 64-bit minima per (source,slot)

@@ -162,18 +162,26 @@ object SimilarityOps {
 
     val vecs = embeddings.select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
 
+    // deterministic init: the nlist lowest-id vectors (TakeOrdered — no
+    // assumption that ids 0..nlist-1 exist in a filtered/re-keyed corpus)
     var centroids: Array[Array[Float]] =
-      vecs.filter(_._1 < nlist).collect().sortBy(_._1).map(_._2)
+      vecs.orderBy($"vec_id").limit(nlist).collect().map(_._2)
+    require(centroids.nonEmpty, "ivfTopK needs a non-empty embeddings table")
 
+    // Lloyd updates accumulate FIXED-POINT longs (x * 2^20 rounded):
+    // integer addition is associative/commutative, so centroids are
+    // bit-identical regardless of shuffle merge order — double sums would
+    // drift by merge order and make the whole index nondeterministic.
+    val Q = 1L << 20
     var it = 0
     while (it < iters) {
       val cb = spark.sparkContext.broadcast(centroids)
       val updated = vecs
         .groupByKey { case (_, v) => nearestCell(cb.value, v) }
         .mapValues { case (_, v) =>
-          val acc = new Array[Double](v.length)
+          val acc = new Array[Long](v.length)
           var i = 0
-          while (i < v.length) { acc(i) = v(i); i += 1 }
+          while (i < v.length) { acc(i) = math.round(v(i).toDouble * Q); i += 1 }
           (acc, 1L)
         }
         .reduceGroups { (a, b) =>
@@ -184,7 +192,7 @@ object SimilarityOps {
         .collect()
       val next = centroids.clone()
       updated.foreach { case (cell, (sum, n)) =>
-        next(cell) = sum.map(x => (x / n).toFloat)
+        next(cell) = sum.map(x => (x.toDouble / (n * Q)).toFloat)
       }
       centroids = next
       cb.destroy()

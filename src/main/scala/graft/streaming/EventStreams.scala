@@ -125,4 +125,5 @@ object EventStreams {
       .withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
+      .drop("fp") // working column — callers get the input schema back
 }

@@ -78,7 +78,6 @@ class EventStreamsSpec extends AnyFunSuite {
   test("streaming dedup keeps first doc per fingerprint within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    final case class Doc(doc_id: Long, ts: Timestamp, text: String)
     val input = MemoryStream[(Long, Timestamp, String)]
     val docs = input.toDF().toDF("doc_id", "ts", "text")
     val query = streamingDedup(docs, "120 minutes")
