@@ -112,6 +112,46 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.values.forall(_.size == 10))
   }
 
+  test("oracle precondition: no LSH bucket on the driver corpus nears the cap") {
+    import spark.implicits._
+    // The DuckDB oracles for dedup_minhash/ngram/simhash are brute-force
+    // all-pairs; they equal the banded Spark output only while no band
+    // bucket on the sf0.01 dup corpus exceeds MAX_BUCKET (the cap would
+    // drop pairs the oracle emits). Guard the measured precondition so a
+    // corpus change flags the hazard HERE before a driver compare reddens.
+    val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", $"text")
+    val dups = docs01.filter($"doc_id" % 10 === 0)
+      .withColumn("doc_id", $"doc_id" + 1000000000L)
+      .withColumn("text", regexp_replace($"text", "\\s+\\S+\\s*$", ""))
+    val corpus = docs01.unionByName(dups).as[(Long, String)]
+
+    val minhashMax = corpus.flatMap { case (id, text) =>
+      val sig = DedupOps.minhashSig(DedupOps.wordShingles(text))
+      DedupOps.bandKeys(sig, DedupOps.NUM_BANDS, DedupOps.BAND_ROWS)
+        .iterator.map { case (b, h) => (b, h) }
+    }.groupByKey(identity).count().map(_._2).reduce(math.max)
+    assert(minhashMax < DedupOps.MAX_BUCKET,
+      s"minhash bucket $minhashMax nears cap ${DedupOps.MAX_BUCKET}: all-pairs oracles no longer sound")
+
+    val simhashMax = corpus.map { case (_, t) => DedupOps.simhash64(t) }
+      .flatMap(sig => (0 until 4).iterator.map(b => (b, (sig >>> (b * 16)) & 0xFFFFL)))
+      .groupByKey(identity).count().map(_._2).reduce(math.max)
+    assert(simhashMax < DedupOps.MAX_BUCKET,
+      s"simhash bucket $simhashMax nears cap ${DedupOps.MAX_BUCKET}")
+  }
+
+  test("IVF training is run-to-run deterministic (fixed-point accumulation)") {
+    import spark.implicits._
+    val a = SimilarityOps.ivfTopK(embs, 8, 10)
+      .select($"q_id", $"rank", $"vec_id", $"score_permille")
+      .collect().map(_.toString).sorted
+    val b = SimilarityOps.ivfTopK(embs, 8, 10)
+      .select($"q_id", $"rank", $"vec_id", $"score_permille")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("embedding dedup finds scaled copies (cosine 1.0)") {
     import spark.implicits._
     val base = embs.select($"vec_id", $"embedding")
