@@ -11,8 +11,12 @@ import Model._
   *
   * Session defaults for scale are set in [[session]]: AQE on (coalescing +
   * skew-join splitting), shuffle partitions sized to cores (overridable),
-  * broadcast threshold left at default — all broadcast decisions in this
-  * code are explicit `broadcast()` hints.
+  * broadcast threshold left at default. Broadcast/local decisions in the
+  * pipeline stages are size-gated at runtime: EntityLinking collects its
+  * bestPerNorm LSH table into a broadcast local relation only under a row
+  * bound, Canonicalize switches between a driver-local union-find and the
+  * distributed large-star/small-star loop on an edge-count gate, and
+  * everything else lets AQE pick the join strategy from observed sizes.
   */
 object KgPipeline {
 
@@ -72,7 +76,9 @@ object KgPipeline {
     val linkedCountF = Future(EntityLinking.run(triples).count())
 
     val edges = Canonicalize.sameAsEdges(triples)
-    val labels = Canonicalize.connectedComponents(edges) // localCheckpointed
+    // size-gated: driver-local union-find under the edge bound, else the
+    // distributed loop (which localCheckpoints per iteration)
+    val labels = Canonicalize.connectedComponents(edges)
 
     val canonical = Canonicalize.canonicalizeTriples(triples, labels)
 

@@ -81,8 +81,23 @@ object Materialize {
 
     val hfs = fs(spark, outDir)
     val (manifestBuckets, done) = readManifestFull(outDir)
-    val nb = manifestBuckets.getOrElse(
+    // numBuckets resolution order: manifest > write-once sidecar > caller >
+    // auto. The sidecar exists because the manifest swap (delete+rename on
+    // filesystems without atomic overwrite) can lose the manifest in a
+    // crash window; without it a resume would fall back to autoBuckets
+    // (defaultParallelism-dependent) and, if parallelism changed, clean
+    // only buckets 0..newNb-1 while committed dirs >= newNb linger as
+    // orphans that readTriples would silently include.
+    val sidecarBuckets = readBucketSidecar(outDir)
+    val nb = manifestBuckets.orElse(sidecarBuckets).getOrElse(
       if (numBuckets > 0) numBuckets else autoBuckets(spark))
+    if (manifestBuckets.isEmpty && sidecarBuckets.isEmpty) {
+      // no commit metadata at all: any existing triples dir is foreign or
+      // pre-dates the sidecar — treat as dirty and rebuild from scratch
+      // rather than merging unknown bucket dirs into this write's layout
+      hfs.delete(new Path(s"$outDir/triples"), true)
+    }
+    writeBucketSidecarOnce(outDir, nb)
 
     val withBucket = bucketed(triples, nb)
     val pendingBuckets = (0 until nb).filterNot(done)
@@ -182,6 +197,40 @@ object Materialize {
     SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** Write-once bucketing sidecar: pins numBuckets for the table's lifetime
+    * BEFORE any data is staged, so bucket layout survives even a lost
+    * manifest. Never overwritten (create with overwrite=false; an existing
+    * file wins). */
+  private def writeBucketSidecarOnce(outDir: String, numBuckets: Int): Unit = {
+    val p = new Path(outDir)
+    val hfs = p.getFileSystem(hadoopConf)
+    hfs.mkdirs(p)
+    val f = new Path(outDir, "_buckets.json")
+    if (!hfs.exists(f)) {
+      val out = hfs.create(f, false)
+      try out.write(s"""{"numBuckets":$numBuckets}"""
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  private def readBucketSidecar(outDir: String): Option[Int] = {
+    val f = new Path(outDir, "_buckets.json")
+    val hfs = f.getFileSystem(hadoopConf)
+    if (!hfs.exists(f)) None
+    else {
+      val in = hfs.open(f)
+      val s = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](256)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+      "\"numBuckets\":([0-9]+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
+    }
+  }
 
   /** Manifest = commit point. Written to a temp file then atomically renamed. */
   def writeManifest(outDir: String, numBuckets: Int, buckets: Set[Int]): Unit = {

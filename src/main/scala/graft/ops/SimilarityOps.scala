@@ -79,6 +79,21 @@ object SimilarityOps {
       cache.computeIfAbsent((h, dim), { case (hh, d) => hyperplane(hh, d) })
   }
 
+  /** Column-space query fetch: the `vec_id < n` predicate is applied on the
+    * DataFrame BEFORE the typed `.as[...]` boundary, so Catalyst pushes it
+    * into the parquet scan (PushedFilters) — fetching 8 query vectors costs
+    * a pruned scan, not a full-corpus deserialize (at 10⁹ vectors a
+    * typed-lambda filter would be a full pass per ANN query). */
+  private[ops] def queryFetch(embeddings: DataFrame, numQueries: Int): DataFrame =
+    embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").cast("long"), col("embedding"))
+
+  private def queryVectors(embeddings: DataFrame, numQueries: Int): Array[(Long, Array[Float])] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    queryFetch(embeddings, numQueries).as[(Long, Array[Float])].collect().sortBy(_._1)
+  }
+
   /** Brute-force cosine top-k: for each of the first `numQueries` vectors,
     * the k nearest corpus vectors (excluding self). Deterministic tie-break
     * on (score desc, vec_id asc). Returns (q_id, rank, vec_id, score_pct). */
@@ -87,7 +102,7 @@ object SimilarityOps {
     import spark.implicits._
 
     val vecs = embeddings.select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
-    val queries = vecs.filter(_._1 < numQueries).collect().sortBy(_._1)
+    val queries = queryVectors(embeddings, numQueries)
     val qB = spark.sparkContext.broadcast(queries)
 
     val scored = vecs.mapPartitions { it =>
@@ -112,7 +127,7 @@ object SimilarityOps {
     import spark.implicits._
 
     val vecs = embeddings.select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
-    val queries = vecs.filter(_._1 < numQueries).collect().sortBy(_._1)
+    val queries = queryVectors(embeddings, numQueries)
     val qWithBuckets = queries.map { case (qid, qv) =>
       val probes = Array.tabulate(nTables) { t =>
         val b = srpBucket(qv, nBits, t)
@@ -162,10 +177,14 @@ object SimilarityOps {
 
     val vecs = embeddings.select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
 
-    // deterministic init: the nlist lowest-id vectors (TakeOrdered — no
-    // assumption that ids 0..nlist-1 exist in a filtered/re-keyed corpus)
+    // deterministic init: the nlist lowest-id vectors — sort+limit in
+    // COLUMN space (planned as TakeOrderedAndProject over the scan, no
+    // object deserialization of the corpus), typed decode only on the
+    // nlist surviving rows
     var centroids: Array[Array[Float]] =
-      vecs.orderBy($"vec_id").limit(nlist).collect().map(_._2)
+      embeddings.select($"vec_id".cast("long"), $"embedding")
+        .orderBy($"vec_id").limit(nlist)
+        .as[(Long, Array[Float])].collect().map(_._2)
     require(centroids.nonEmpty, "ivfTopK needs a non-empty embeddings table")
 
     // Lloyd updates accumulate FIXED-POINT longs (x * 2^20 rounded):
@@ -199,7 +218,7 @@ object SimilarityOps {
       it += 1
     }
 
-    val queries = vecs.filter(_._1 < numQueries).collect().sortBy(_._1)
+    val queries = queryVectors(embeddings, numQueries)
     val cFinal = centroids
     val qProbes = queries.map { case (qid, qv) =>
       val byScore = cFinal.zipWithIndex

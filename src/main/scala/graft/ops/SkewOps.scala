@@ -43,8 +43,15 @@ object SkewOps {
     * single reducer's final-merge state would be the bottleneck (e.g.
     * count-distinct-style states, collect-style aggregates). */
   def saltedCount(df: DataFrame, key: Column, salt: Int = 16): DataFrame = {
+    // salt from a content hash (as saltedJoin does), NOT rand(seed): seeded
+    // rand is deterministic only per partition LAYOUT, so a stage retry
+    // under a different partitioning would re-salt rows differently —
+    // harmless for a pure count (salt only routes) but it makes plans
+    // non-reproducible run-to-run. xxhash64 over all input columns is a
+    // pure row function: same rows → same salt under any partitioning.
     val pre = df
-      .withColumn("_salt", pmod(xxhash64(rand(42) * 1000000), lit(salt)))
+      .withColumn("_salt",
+        pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(salt)).cast("int"))
       .groupBy(key.as("k"), col("_salt"))
       .agg(count(lit(1)).as("_c"))
     pre.groupBy(col("k")).agg(sum(col("_c")).as("n"))

@@ -81,13 +81,20 @@ object IriResolver {
       c == '|' || c == '\\' || c == '^' || c == '`')
 
   /** RFC 3986 §2.1: every '%' must start a pct-encoded triplet
-    * (`% HEXDIG HEXDIG`) — oxiri validates this in its grammar. */
+    * (`% HEXDIG HEXDIG`) — oxiri validates this in its grammar.
+    * HEXDIG is ASCII-only (RFC 3986 §1.3 / RFC 2234): an explicit ASCII
+    * check, NOT Character.digit(c,16), which also accepts non-ASCII
+    * Unicode digits and fullwidth hex letters (e.g. U+0663, U+FF46) and
+    * would make graft produce IRIs like `<a%٣٣b>` that oxiri rejects. */
+  private def isAsciiHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
   def invalidPctEncoding(s: String): Boolean = {
     var i = s.indexOf('%')
     while (i >= 0) {
       if (i + 2 >= s.length ||
-        Character.digit(s.charAt(i + 1), 16) < 0 ||
-        Character.digit(s.charAt(i + 2), 16) < 0) return true
+        !isAsciiHex(s.charAt(i + 1)) ||
+        !isAsciiHex(s.charAt(i + 2))) return true
       i = s.indexOf('%', i + 3)
     }
     false

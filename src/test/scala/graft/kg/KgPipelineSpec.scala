@@ -144,6 +144,54 @@ class KgPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Materialize.readManifest(out) == (0 until Materialize.NUM_BUCKETS).toSet)
   }
 
+  test("lost manifest cannot change bucketing: sidecar pins numBuckets") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sidecar").toString
+    val triples = Canonicalize.canonicalizeTriples(
+      TripleExtraction.run(PagesSource.pages(spark, 100)),
+      spark.emptyDataFrame.selectExpr("'' as id", "'' as canonical").limit(0))
+    // first write with an explicit non-default bucket count
+    Materialize.write(triples, out, numBuckets = 7)
+    val full = Materialize.readTriples(spark, out).count()
+    assert(Materialize.readManifestFull(out)._1.contains(7))
+    // crash window: manifest lost between delete and rename
+    java.nio.file.Files.delete(java.nio.file.Paths.get(out, "_manifest.json"))
+    // resume in auto mode (numBuckets=0): the sidecar must pin nb=7 —
+    // without it autoBuckets(parallelism) would orphan dirs >= newNb
+    Materialize.write(triples, out)
+    assert(Materialize.readManifestFull(out)._1.contains(7))
+    assert(Materialize.readTriples(spark, out).count() == full)
+    // exactly buckets 0..6 on disk — no orphans
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(out, "triples"))
+    val buckets = try {
+      import scala.jdk.CollectionConverters._
+      dirs.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("bucket=")).toSet
+    } finally dirs.close()
+    assert(buckets == (0 until 7).map(b => s"bucket=$b").toSet)
+  }
+
+  test("metadata-less dir with stale bucket data is rebuilt, not merged") {
+    val out = java.nio.file.Files.createTempDirectory("graft-dirty").toString
+    val triples = Canonicalize.canonicalizeTriples(
+      TripleExtraction.run(PagesSource.pages(spark, 100)),
+      spark.emptyDataFrame.selectExpr("'' as id", "'' as canonical").limit(0))
+    Materialize.write(triples, out, numBuckets = 7)
+    val full = Materialize.readTriples(spark, out).count()
+    // wipe ALL commit metadata (manifest + sidecar) but leave data dirs
+    java.nio.file.Files.delete(java.nio.file.Paths.get(out, "_manifest.json"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(out, "_buckets.json"))
+    // rewrite with a different bucket count: old dirs must not survive
+    Materialize.write(triples, out, numBuckets = 5)
+    assert(Materialize.readTriples(spark, out).count() == full)
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(out, "triples"))
+    val buckets = try {
+      import scala.jdk.CollectionConverters._
+      dirs.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("bucket=")).toSet
+    } finally dirs.close()
+    assert(buckets == (0 until 5).map(b => s"bucket=$b").toSet)
+  }
+
   test("per-group commits preserve PARTIAL progress and resume completes it") {
     val out = java.nio.file.Files.createTempDirectory("graft-partial").toString
     val triples = Canonicalize.canonicalizeTriples(

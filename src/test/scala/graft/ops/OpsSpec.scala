@@ -167,6 +167,14 @@ class OpsSpec extends AnyFunSuite {
     assert(found == injected.length, s"found $found of ${injected.length}")
   }
 
+  test("ANN query fetch pushes the vec_id predicate into the parquet scan") {
+    val plan = SimilarityOps.queryFetch(embs, 8).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(vec_id,8)"),
+      s"vec_id<8 not pushed to scan:\n$plan")
+    assert(!plan.contains("DeserializeToObject"),
+      "query fetch must stay in column space (no object deserialization)")
+  }
+
   test("language id classifies constructed sentences correctly") {
     // the documents table's text is English-ish bag-of-words regardless of
     // its lang label, so langId is validated on real sentences instead

@@ -30,4 +30,17 @@ class SkewOpsSpec extends AnyFunSuite {
       .orderBy($"entity_iri").collect().map(r => (r.getString(0), r.getLong(1)))
     assert(plain.sameElements(salted))
   }
+
+  test("saltedCount output is invariant under input repartitioning") {
+    import spark.implicits._
+    val df = spark.range(0, 5000)
+      .select(when($"id" % 3 === 0, lit("hub")).otherwise(concat(lit("e"), $"id" % 20)).as("entity_iri"),
+        ($"id" % 7).as("extra"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      SkewOps.saltedCount(d, $"entity_iri", 16)
+        .orderBy($"k").collect().map(r => (r.getString(0), r.getLong(1)))
+    val base = run(df)
+    assert(base.sameElements(run(df.repartition(3))))
+    assert(base.sameElements(run(df.repartition(17, $"extra"))))
+  }
 }
