@@ -143,6 +143,20 @@ object Bench {
     spark.stop()
     rmTree(new java.io.File(stageDir))
 
+    // --- separate-JVM scaling: the SAME pipeline at 2 vs 8 standalone
+    //     workers (one executor JVM each, 4 cores) via local-cluster —
+    //     the north_rule's two-cluster-size criterion on real executor
+    //     processes rather than the single-JVM local[] proxy above ---
+    val clusterJson =
+      if (sys.env.contains("GRAFT_SKIP_CLUSTER")) """{"skipped":true}"""
+      else
+        try ClusterScale.measureJson(n,
+          reps = sys.env.getOrElse("GRAFT_CLUSTER_REPS", "2").toInt)
+        catch {
+          case e: Throwable =>
+            s"""{"error":"${e.toString.replaceAll("[\"\\\\\n]", " ").take(160)}"}"""
+        }
+
     def f(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
@@ -154,6 +168,7 @@ object Bench {
         s""","cpus_high":$cpusHigh,"secs_high":${f(tHigh)},"triples_per_sec_high":${f(thrHigh)}""" +
         s""","scaling_efficiency":${f(eff)}""" +
         s""","steal_frac_low":${f(stLow)},"steal_frac_high":${f(stHigh)},"reps":$reps}""" +
+        s""","cluster_pipeline":$clusterJson""" +
         s""","query_errors":[${failed.map("\"" + _ + "\"").mkString(",")}]}""")
   }
 }

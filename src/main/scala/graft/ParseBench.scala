@@ -2,6 +2,18 @@ package graft
 import graft.turtle._
 object ParseBench {
   def main(args: Array[String]): Unit = {
+    // `dump <dir>`: write the exact bench corpus to disk so the reference
+    // binary (tools/refgen/refbench) can be timed over the SAME documents
+    if (args.length >= 2 && args(0) == "dump") {
+      val dir = java.nio.file.Paths.get(args(1))
+      java.nio.file.Files.createDirectories(dir)
+      graft.kg.FixtureCorpus.productionSafe.zipWithIndex.foreach { case (d, i) =>
+        java.nio.file.Files.write(dir.resolve(f"doc$i%03d.ttl"),
+          d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      println(s"dumped ${graft.kg.FixtureCorpus.productionSafe.size} docs to $dir")
+      return
+    }
     val docs = graft.kg.FixtureCorpus.productionSafe
     val totalBytes = docs.map(_.length).sum
     // warmup

@@ -240,14 +240,16 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) =>
       SimilarityOps.ivfTopK(t(s, d, "embeddings"), 8, 10)),
 
-    // --- multimodal plumbing (stubbed decode, real Spark shape) ---
+    // --- multimodal: REAL container decode (BMP/WAV/PPM synthesized and
+    //     parsed as wire formats; oracled via generator arithmetic) ---
     "mm_features" -> ((s, d) => {
       import s.implicits._
       MultimodalOps.extractFeatures(
         MultimodalOps.mediaFromPages(
           PagesSource.pages(s, math.min(PagesSource.countForSfDir(d), 2000))))
         .toDF().select(col("media_id"), col("kind"), col("byte_len"),
-          col("width"), col("height"))
+          col("width"), col("height"), col("sample_rate"),
+          col("n_units"), col("content_sum"))
     }),
     "mm_frames" -> ((s, d) =>
       MultimodalOps.frameSample(
@@ -472,7 +474,263 @@ object SparkEntry {
        UNION ALL SELECT doc_id, fp FROM caseB
        UNION ALL SELECT doc_id, hv AS fp FROM caseC"""
 
+  /** SRP-LSH ANN as exact SQL: the hyperplanes are a pure function of
+    * mix64(0x5EED ^ h<<32 ^ i) (SimilarityOps.hyperplane), evaluated here
+    * with the same splitmix machinery as [[simhashOracle]]; components are
+    * exact in FLOAT ((r & 0x1FFFFF)/2^20 - 1 has ≤21 significant bits), the
+    * per-plane dot replicates the Scala loop bit-for-bit (FLOAT×FLOAT
+    * product — DuckDB preserves single precision — widened to DOUBLE and
+    * accumulated in index order via list_reduce), and the Hamming-1 probe
+    * set {b} ∪ {b^(1<<i)} is equivalently `bit_count(xor(bq,bv)) <= 1`. */
+  private def annLshOracle: String = {
+    val seed = "xor(xor(CAST(24301 AS UBIGINT), " +
+      "CAST((t.t * 64 + b.b) AS UBIGINT) * 4294967296), CAST(i.i AS UBIGINT))"
+    s"""WITH dims AS (SELECT unnest(range(0, 64)) AS i),
+       bits AS (SELECT unnest(range(0, 8)) AS b),
+       tbls AS (SELECT unnest(range(0, 8)) AS t),
+       comps AS (
+         SELECT t.t, b.b, i.i,
+           CAST(CAST((${splitmixSql(seed)}) & 2097151 AS DOUBLE) / 1048576.0
+                - 1.0 AS FLOAT) AS comp
+         FROM tbls t, bits b, dims i),
+       planes AS (
+         SELECT t, b, list(comp ORDER BY i) AS p FROM comps GROUP BY t, b),
+       dots AS (
+         SELECT e.vec_id, pl.t, pl.b,
+           list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 65),
+                 j -> CAST(e.embedding[j] * pl.p[j] AS DOUBLE))),
+             (a, x) -> a + x) AS dot
+         FROM embeddings e, planes pl),
+       buckets AS (
+         SELECT vec_id, t,
+           sum(CASE WHEN dot >= 0 THEN 1 << b ELSE 0 END)::BIGINT AS bucket
+         FROM dots GROUP BY vec_id, t),
+       qb AS (SELECT vec_id AS q_id, t, bucket FROM buckets WHERE vec_id < 8),
+       cand AS (
+         SELECT DISTINCT qb.q_id, vb.vec_id
+         FROM qb JOIN buckets vb ON qb.t = vb.t
+           AND bit_count(xor(qb.bucket::UBIGINT, vb.bucket::UBIGINT)) <= 1
+         WHERE vb.vec_id <> qb.q_id),
+       scored AS (
+         SELECT c.q_id, c.vec_id,
+           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(v.embedding AS DOUBLE[])) AS score
+         FROM cand c
+         JOIN embeddings q ON q.vec_id = c.q_id
+         JOIN embeddings v ON v.vec_id = c.vec_id),
+       r AS (
+         SELECT q_id, vec_id, score,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY score DESC, vec_id ASC) AS rnk
+         FROM scored)
+       SELECT q_id, CAST(rnk AS BIGINT) AS rank, vec_id,
+         CAST(trunc(score * 1000) AS BIGINT) AS score_permille
+       FROM r WHERE rnk <= 10"""
+  }
+
+  /** One Lloyd iteration of the IVF oracle: centroids `cin` → `cout`.
+    * Assignment = argmax cosine (first cell wins ties, as
+    * SimilarityOps.nearestCell); update accumulates the SAME fixed-point
+    * longs as the Scala (floor(x·2^20 + 0.5) = Math.round), so the new
+    * centroids are bit-identical; empty cells keep the previous centroid. */
+  private def lloydIterSql(cin: String, cout: String): String =
+    s"""a_$cout AS (
+         SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(c.c AS DOUBLE[]),
+                        CAST(e.embedding AS DOUBLE[])) DESC,
+                      c.cell ASC) AS rn
+         FROM embeddings e CROSS JOIN $cin c),
+       asg_$cout AS (SELECT vec_id, cell FROM a_$cout WHERE rn = 1),
+       sums_$cout AS (
+         SELECT s.cell, d.j,
+           SUM(CAST(floor(CAST(e.embedding[d.j] AS DOUBLE) * 1048576 + 0.5)
+               AS BIGINT)) AS sm,
+           COUNT(*) AS n
+         FROM asg_$cout s JOIN embeddings e USING (vec_id),
+           (SELECT unnest(range(1, 65)) AS j) d
+         GROUP BY s.cell, d.j),
+       newc_$cout AS (
+         SELECT cell, list(CAST(CAST(sm AS DOUBLE) / CAST(n * 1048576 AS DOUBLE)
+           AS FLOAT) ORDER BY j) AS c
+         FROM sums_$cout GROUP BY cell),
+       $cout AS (
+         SELECT p.cell, COALESCE(n.c, p.c) AS c
+         FROM $cin p LEFT JOIN newc_$cout n USING (cell))"""
+
+  /** IVF ANN as exact SQL: deterministic init (32 lowest-id vectors), three
+    * unrolled fixed-point Lloyd iterations ([[lloydIterSql]]), nprobe=4
+    * probe cells per query (cosine desc, cell asc), candidates = vectors
+    * whose final cell is probed, then the same top-k as brute force. */
+  private def annIvfOracle: String =
+    s"""WITH c0 AS (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                embedding AS c
+         FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 32)),
+       ${lloydIterSql("c0", "c1")},
+       ${lloydIterSql("c1", "c2")},
+       ${lloydIterSql("c2", "c3")},
+       qp AS (
+         SELECT q.vec_id AS q_id, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(c.c AS DOUBLE[]),
+                        CAST(q.embedding AS DOUBLE[])) DESC,
+                      c.cell ASC) AS rn
+         FROM embeddings q CROSS JOIN c3 c WHERE q.vec_id < 8),
+       probes AS (SELECT q_id, cell FROM qp WHERE rn <= 4),
+       vassign AS (
+         SELECT vec_id, cell FROM (
+           SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(c.c AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])) DESC,
+                        c.cell ASC) AS rn
+           FROM embeddings e CROSS JOIN c3 c) WHERE rn = 1),
+       scored AS (
+         SELECT p.q_id, v.vec_id,
+           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(v.embedding AS DOUBLE[])) AS score
+         FROM probes p
+         JOIN vassign a ON a.cell = p.cell
+         JOIN embeddings v ON v.vec_id = a.vec_id AND v.vec_id <> p.q_id
+         JOIN embeddings q ON q.vec_id = p.q_id),
+       r AS (
+         SELECT q_id, vec_id, score,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY score DESC, vec_id ASC) AS rnk
+         FROM scored)
+       SELECT q_id, CAST(rnk AS BIGINT) AS rank, vec_id,
+         CAST(trunc(score * 1000) AS BIGINT) AS score_permille
+       FROM r WHERE rnk <= 10"""
+
+  /** mod-2^64 addition for splitmix seeds (ds + j wraps in the Scala). */
+  private def addModSql(a: String, b: String): String =
+    s"CAST((CAST($a AS HUGEINT) + ($b)) % 18446744073709551616 AS UBIGINT)"
+
+  /** Shared CTE prefix of the multimodal oracles: reconstructs, per page
+    * index i < 2000, the media id (FNV-1a of the synthetic url — same SQL
+    * FNV as [[simhashOracle]]), the kind routing (id & 3) and the payload
+    * seed mix64(id ^ 0x5EEDFACE) — i.e. MultimodalOps.mediaFromPages +
+    * synthMedia's parameter arithmetic, independent of the JVM codec code
+    * being verified. */
+  private def mmBaseSql: String =
+    s"""pages AS (SELECT unnest(range(0, 2000)) AS i),
+       urls AS (SELECT i,
+         'https://site' || (i % 1000) || '.example/page/' || i AS url
+         FROM pages),
+       ids AS (
+         SELECT i, list_reduce(
+           list_prepend(CAST(14695981039346656037 AS UBIGINT),
+             list_transform(range(1, length(url) + 1),
+               k -> CAST(unicode(url[k]) AS UBIGINT))),
+           (h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211)
+                          % 18446744073709551616 AS UBIGINT)) AS u
+         FROM urls),
+       m AS (
+         SELECT u,
+           CAST(CASE WHEN u >= 9223372036854775808
+                THEN CAST(u AS HUGEINT) - 18446744073709551616
+                ELSE CAST(u AS HUGEINT) END AS BIGINT) AS media_id,
+           CASE WHEN (${splitmixSql("u")} & 3) = 1 THEN 'audio'
+                WHEN (${splitmixSql("u")} & 3) = 2 THEN 'video'
+                ELSE 'image' END AS kind,
+           ${splitmixSql(s"xor(u, ${0x5EEDFACEL})")} AS ds
+         FROM ids),
+       vid AS (SELECT media_id, ds,
+           2 + CAST(${splitmixSql("xor(u, 193)")} & 7 AS INT) AS n_frames,
+           4 + CAST(${splitmixSql("xor(u, 194)")} & 15 AS INT) AS w,
+           4 + CAST(${splitmixSql("xor(u, 195)")} & 15 AS INT) AS h
+         FROM m WHERE kind = 'video'),
+       vidp AS (SELECT *,
+           9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) AS header_len,
+           3 * w * h AS frame_data
+         FROM vid)"""
+
+  /** mm_features oracle: every feature column the JVM decoder emits is
+    * re-derived from the generator's arithmetic (dimensions, header sizes,
+    * payload byte/sample sums over the same splitmix64 stream) — the BMP /
+    * WAV / PPM encode+decode round trip must reproduce these exactly. */
+  private def mmFeaturesOracle: String =
+    s"""WITH ${mmBaseSql},
+       img AS (SELECT media_id, ds,
+           4 + CAST(${splitmixSql("xor(u, 177)")} & 31 AS INT) AS w,
+           4 + CAST(${splitmixSql("xor(u, 178)")} & 31 AS INT) AS h
+         FROM m WHERE kind = 'image'),
+       imgp AS (SELECT media_id, ds, w, h,
+           ((3 * w + 3) // 4) * 4 * h AS data_size FROM img),
+       imgsum AS (
+         SELECT p.media_id,
+           CAST(SUM(CAST(${splitmixSql(addModSql("p.ds", "j.j"))} & 255 AS BIGINT)) AS BIGINT) AS content_sum
+         FROM imgp p, LATERAL (SELECT unnest(range(0, p.data_size)) AS j) j
+         GROUP BY p.media_id),
+       imgf AS (
+         SELECT p.media_id, 'image' AS kind,
+           CAST(54 + p.data_size AS BIGINT) AS byte_len,
+           p.w AS width, p.h AS height, 0 AS sample_rate,
+           CAST(p.w * p.h AS BIGINT) AS n_units, s.content_sum
+         FROM imgp p JOIN imgsum s USING (media_id)),
+       aud AS (SELECT media_id, ds,
+           8000 + CAST((${splitmixSql("xor(u, 161)")} & 7) * 1000 AS INT) AS sample_rate,
+           256 + CAST(${splitmixSql("xor(u, 162)")} & 1023 AS INT) AS n_samples
+         FROM m WHERE kind = 'audio'),
+       audsum AS (
+         SELECT media_id,
+           CAST(SUM(CASE WHEN x >= 32768 THEN CAST(x AS BIGINT) - 65536
+                    ELSE CAST(x AS BIGINT) END) AS BIGINT) AS content_sum
+         FROM (SELECT p.media_id,
+                 ${splitmixSql(addModSql("p.ds", "j.j"))} & 65535 AS x
+               FROM aud p, LATERAL (SELECT unnest(range(0, p.n_samples)) AS j) j)
+         GROUP BY media_id),
+       audf AS (
+         SELECT p.media_id, 'audio' AS kind,
+           CAST(44 + 2 * p.n_samples AS BIGINT) AS byte_len,
+           0 AS width, 0 AS height, p.sample_rate,
+           CAST(p.n_samples AS BIGINT) AS n_units, s.content_sum
+         FROM aud p JOIN audsum s USING (media_id)),
+       vidsum AS (
+         SELECT p.media_id,
+           CAST(SUM(CAST(${splitmixSql(addModSql("p.ds", "j.j"))} & 255 AS BIGINT)) AS BIGINT) AS content_sum
+         FROM vidp p, LATERAL
+           (SELECT unnest(range(0, p.n_frames * p.frame_data)) AS j) j
+         GROUP BY p.media_id),
+       vidf AS (
+         SELECT p.media_id, 'video' AS kind,
+           CAST(p.n_frames * (p.header_len + p.frame_data) AS BIGINT) AS byte_len,
+           p.w AS width, p.h AS height, 0 AS sample_rate,
+           CAST(p.n_frames AS BIGINT) AS n_units, s.content_sum
+         FROM vidp p JOIN vidsum s USING (media_id))
+       SELECT * FROM imgf
+       UNION ALL SELECT * FROM audf
+       UNION ALL SELECT * FROM vidf"""
+
+  /** mm_frames oracle: one row per PPM frame with the exact per-frame
+    * pixel-byte sum (payload byte (f,j) = mix64(ds + f·3wh + j) & 255). */
+  private def mmFramesOracle: String =
+    s"""WITH ${mmBaseSql},
+       frames AS (
+         SELECT p.media_id, f.f, p.w, p.h, p.ds, p.frame_data
+         FROM vidp p, LATERAL (SELECT unnest(range(0, p.n_frames)) AS f) f)
+       SELECT fr.media_id, CAST(fr.f AS BIGINT) AS frame,
+         fr.w AS width, fr.h AS height,
+         CAST(SUM(CAST(${splitmixSql(addModSql("fr.ds", "fr.f * fr.frame_data + j.j"))}
+             & 255 AS BIGINT)) AS BIGINT) AS frame_sum
+       FROM frames fr, LATERAL (SELECT unnest(range(0, fr.frame_data)) AS j) j
+       GROUP BY fr.media_id, fr.f, fr.w, fr.h"""
+
   def oracleSql: Map[String, String] = Map(
+    // SRP-LSH / IVF ANN verified end-to-end in SQL (hyperplanes + fixed-
+    // point Lloyd's re-derived from the same splitmix64 arithmetic; see
+    // annLshOracle/annIvfOracle scaladocs for the bit-equality argument)
+    "ann_lsh_topk" -> annLshOracle,
+    "ann_ivf_topk" -> annIvfOracle,
+    // multimodal decode verified against the generator arithmetic: the
+    // oracle recomputes headers/dimensions/sums in SQL from the same
+    // splitmix64/FNV streams; the JVM side must ENCODE real BMP/WAV/PPM
+    // bytes and DECODE them back to these exact features
+    "mm_features" -> mmFeaturesOracle,
+    "mm_frames" -> mmFramesOracle,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS sum_qty_micro,

@@ -67,20 +67,22 @@ object TripleExtraction {
     pages.flatMap(triplesForPage _)
   }
 
+  /** Per-page body of [[roundTrip]] (pure — reused by the fuzz harness). */
+  def roundTripForPage(page: Page): Vector[RoundTrip] =
+    Extract.extractBlocks(page.html).zipWithIndex.map {
+      case (block, bi) =>
+        TurtleParser.parseFull(block) match {
+          case Right(doc) =>
+            RoundTrip(page.url, bi, parsed = true,
+              byte_identical = TurtleSerializer.render(doc) == block)
+          case Left(_) => RoundTrip(page.url, bi, parsed = false, byte_identical = false)
+        }
+    }
+
   /** Round-trip audit (the north-star byte-identity gate, per block). */
   def roundTrip(pages: Dataset[Page]): Dataset[RoundTrip] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages.flatMap { page =>
-      Extract.extractBlocks(page.html).iterator.zipWithIndex.map {
-        case (block, bi) =>
-          TurtleParser.parseFull(block) match {
-            case Right(doc) =>
-              RoundTrip(page.url, bi, parsed = true,
-                byte_identical = TurtleSerializer.render(doc) == block)
-            case Left(_) => RoundTrip(page.url, bi, parsed = false, byte_identical = false)
-          }
-      }
-    }
+    pages.flatMap(roundTripForPage _)
   }
 }

@@ -223,8 +223,63 @@ class OpsSpec extends AnyFunSuite {
     val f = MultimodalOps.extractFeatures(media).collect().sortBy(_.media_id)
     val g = MultimodalOps.extractFeatures(media).collect().sortBy(_.media_id)
     assert(f.map(_.media_id).sameElements(g.map(_.media_id)))
-    assert(f.forall(r => r.histogram.sum == r.byte_len))
+    assert(f.map(_.content_sum).sameElements(g.map(_.content_sum)))
+    assert(Set("image", "audio", "video").subsetOf(f.map(_.kind).toSet))
     val frames = MultimodalOps.frameSample(media)
     assert(frames.count() > 0)
+  }
+
+  test("BMP round-trip: real header fields and payload stats survive decode") {
+    import graft.kg.PagesSource.mix64
+    val id = 42L
+    val bytes = MultimodalOps.synthBmp(id)
+    val (w, h, sr, units, sum, hist) = MultimodalOps.decode(bytes)
+    assert(w == 4 + (mix64(id ^ 0xB1L) & 0x1F).toInt)
+    assert(h == 4 + (mix64(id ^ 0xB2L) & 0x1F).toInt)
+    assert(sr == 0 && units == w.toLong * h)
+    val rowSize = ((3 * w + 3) / 4) * 4
+    assert(bytes.length == 54 + rowSize * h)
+    val seed = mix64(id ^ 0x5EEDFACEL)
+    val expected = (0 until rowSize * h).map(j => (mix64(seed + j) & 0xFF)).sum
+    assert(sum == expected)
+    assert(hist.sum == rowSize.toLong * h)
+  }
+
+  test("WAV round-trip: PCM16 little-endian samples sum signed") {
+    import graft.kg.PagesSource.mix64
+    val id = -7L
+    val bytes = MultimodalOps.synthWav(id)
+    val (w, h, sr, units, sum, _) = MultimodalOps.decode(bytes)
+    assert(w == 0 && h == 0)
+    assert(sr == 8000 + ((mix64(id ^ 0xA1L) & 7) * 1000).toInt)
+    val n = 256 + (mix64(id ^ 0xA2L) & 0x3FF).toInt
+    assert(units == n.toLong && bytes.length == 44 + 2 * n)
+    val seed = mix64(id ^ 0x5EEDFACEL)
+    val expected = (0 until n).map(j => ((mix64(seed + j) & 0xFFFF).toShort).toLong).sum
+    assert(sum == expected)
+  }
+
+  test("PPM video: per-frame parse yields exact frame stats; sums reconcile") {
+    import spark.implicits._
+    import graft.kg.PagesSource.mix64
+    val id = 1234L
+    val bytes = MultimodalOps.synthVideo(id)
+    val (w, h, _, nFrames, total, _) = MultimodalOps.decode(bytes)
+    assert(w == 4 + (mix64(id ^ 0xC2L) & 0xF).toInt)
+    assert(h == 4 + (mix64(id ^ 0xC3L) & 0xF).toInt)
+    assert(nFrames == 2 + (mix64(id ^ 0xC1L) & 7).toInt)
+    val media = spark.createDataset(
+      Seq(MultimodalOps.MediaRow(id, "video", bytes)))
+    val frames = MultimodalOps.frameSample(media)
+      .orderBy($"frame").collect()
+    assert(frames.length == nFrames)
+    assert(frames.map(_.getLong(4)).sum == total) // Σ frame_sum == content_sum
+    assert(frames.forall(r => r.getInt(2) == w && r.getInt(3) == h))
+  }
+
+  test("decode rejects unknown containers (real decoder contract)") {
+    intercept[Exception] {
+      MultimodalOps.decode(Array[Byte](1, 2, 3, 4))
+    }
   }
 }
