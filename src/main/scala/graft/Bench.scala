@@ -143,15 +143,23 @@ object Bench {
     spark.stop()
     rmTree(new java.io.File(stageDir))
 
-    // --- separate-JVM scaling: the SAME pipeline at 2 vs 8 standalone
-    //     workers (one executor JVM each, 4 cores) via local-cluster —
-    //     the north_rule's two-cluster-size criterion on real executor
-    //     processes rather than the single-JVM local[] proxy above ---
+    // --- separate-JVM scaling: the SAME pipeline at 1 vs 4 standalone
+    //     workers (one executor JVM each) via local-cluster — the
+    //     north_rule's two-cluster-size criterion ("N and 4N cores") on
+    //     real executor processes rather than the single-JVM local[]
+    //     proxy above. Default pair is 1×2c → 4×2c (2→8 cores): a 4×
+    //     ratio at host occupancy where the VM can actually supply the
+    //     resources at BOTH levels. Wider pairs measure progressively
+    //     more host saturation, not engine scaling — the full occupancy
+    //     curve with CPU/allocation controls is in BENCH.md
+    //     ("Separate-JVM scaling"); GRAFT_CLUSTER_WLOW/WHIGH/CPW
+    //     reproduce any pair. ---
     val clusterJson =
       if (sys.env.contains("GRAFT_SKIP_CLUSTER")) """{"skipped":true}"""
       else
         try ClusterScale.measureJson(n,
-          reps = sys.env.getOrElse("GRAFT_CLUSTER_REPS", "2").toInt)
+          reps = sys.env.getOrElse("GRAFT_CLUSTER_REPS", "2").toInt,
+          coresPerWorker = sys.env.getOrElse("GRAFT_CLUSTER_CPW", "2").toInt)
         catch {
           case e: Throwable =>
             s"""{"error":"${e.toString.replaceAll("[\"\\\\\n]", " ").take(160)}"}"""

@@ -146,8 +146,8 @@ object ClusterScale {
     * callable from Bench (driver-visible BENCH_r{N}) and from main. */
   def measureJson(n: Long, reps: Int = 2, coresPerWorker: Int = 4,
       memMb: Int = 8192): String = {
-    val wLow = 2
-    val wHigh = 8
+    val wLow = sys.env.getOrElse("GRAFT_CLUSTER_WLOW", "1").toInt
+    val wHigh = sys.env.getOrElse("GRAFT_CLUSTER_WHIGH", "4").toInt
     val warmN = math.max(math.min(n / 10, 400000L), 50000L)
     val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long, Double)]
     var retryBudget = 2

@@ -216,6 +216,13 @@ object SparkEntry {
       DedupOps.simhashDedup(dupCorpus(s, d, perturb = true), 3)),
     "dedup_ngram_jaccard" -> ((s, d) =>
       DedupOps.ngramJaccardDedup(dupCorpus(s, d, perturb = true), 0.8)),
+    // sampled (doc_id % 25) variants: the same LSH operators with an
+    // all-pairs oracle that stays tractable at BENCH scale (sf0.1) — the
+    // hash-compare axis is not pinned to the sf0.01 corpus size
+    "dedup_minhash_sampled" -> ((s, d) =>
+      DedupOps.minhashDedup(dupCorpus(s, d, perturb = true, mod = 25), 0.5)),
+    "dedup_simhash_sampled" -> ((s, d) =>
+      DedupOps.simhashDedup(dupCorpus(s, d, perturb = true, mod = 25), 3)),
     "dedup_embedding" -> ((s, d) =>
       SimilarityOps.embeddingDedup(embCorpus(s, d), 0.95)),
 
@@ -259,8 +266,13 @@ object SparkEntry {
   /** The dedup corpus: documents plus deterministic near-duplicate copies
     * (id + 10^9, last token dropped) so near-dup detection has guaranteed
     * positives at every scale. perturb=false → exact copies. */
-  private def dupCorpus(s: SparkSession, d: String, perturb: Boolean): DataFrame = {
-    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+  private def dupCorpus(s: SparkSession, d: String, perturb: Boolean,
+      mod: Long = 1): DataFrame = {
+    // mod > 1: deterministic subsample keyed on doc_id — the "capped
+    // subset" oracle mode that keeps the all-pairs DuckDB oracle tractable
+    // at sf0.1 (50k docs would be 2.5B pairs; /25 is ~2.4M)
+    val base0 = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val docs = if (mod > 1) base0.filter(col("doc_id") % mod === 0) else base0
     val dups = docs.filter(col("doc_id") % 10 === 0)
       .withColumn("doc_id", col("doc_id") + lit(1000000000L))
       .withColumn("text",
@@ -281,12 +293,12 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracle SQL
 
-  private def dedupJaccardOracle(thresholdPct: Int): String =
+  private def dedupJaccardOracle(thresholdPct: Int, mod: Int = 1): String =
     s"""WITH corpus AS (
-         SELECT doc_id, text FROM documents
+         SELECT doc_id, text FROM documents WHERE doc_id % $mod = 0
          UNION ALL
          SELECT doc_id + 1000000000, regexp_replace(text, '\\s+\\S+\\s*$$', '')
-         FROM documents WHERE doc_id % 10 = 0),
+         FROM documents WHERE doc_id % 10 = 0 AND doc_id % $mod = 0),
        toks AS (
          SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
            x -> length(x) > 0) AS t
@@ -313,13 +325,13 @@ object SparkEntry {
     * HUGEINT split multiplication (a*C mod 2^64 = lo32(a)*C + (hi32(a)*C
     * mod 2^32)<<32, all within INT128 range). Corpus text is ASCII, so
     * Scala's UTF-16-unit FNV equals the codepoint FNV here. */
-  private def simhashOracle: String = {
+  private def simhashOracle(mod: Int = 1): String = {
     val mix = splitmixSql("fh")
     s"""WITH corpus AS (
-         SELECT doc_id, text FROM documents
+         SELECT doc_id, text FROM documents WHERE doc_id % $mod = 0
          UNION ALL
          SELECT doc_id + 1000000000, regexp_replace(text, '\\s+\\S+\\s*$$', '')
-         FROM documents WHERE doc_id % 10 = 0),
+         FROM documents WHERE doc_id % 10 = 0 AND doc_id % $mod = 0),
        toks AS (
          SELECT doc_id, unnest(list_filter(
            string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -909,7 +921,11 @@ object SparkEntry {
     // 1.0 by pigeonhole, AND no band bucket exceeds DedupOps.MAX_BUCKET
     // (the cap would otherwise drop intra-bucket pairs the all-pairs
     // oracle emits — same caveat applies to the Jaccard oracles above).
-    "dedup_simhash" -> simhashOracle,
+    "dedup_simhash" -> simhashOracle(),
+    // sampled variants (doc_id % 25 on both sides): hash-compare coverage
+    // at bench scale — verified manually at sf0.1 (BENCH.md)
+    "dedup_minhash_sampled" -> dedupJaccardOracle(50, mod = 25),
+    "dedup_simhash_sampled" -> simhashOracle(mod = 25),
     // group MinHash sketch verified in SQL: per-shingle FNV base, 16
     // slot-seeded splitmix64 hashes, SIGNED 64-bit minima per (source,slot)
     // — the mergeable-Aggregator output equals a global min by definition

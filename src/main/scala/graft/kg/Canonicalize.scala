@@ -29,11 +29,9 @@ object Canonicalize {
     * and projection so the scan over the staged parquet is pruned and the
     * predicates are pushed down.
     *
-    * NOT deduplicated here: both CC paths dedup internally (union-find is
-    * idempotent per edge; the distributed loop runs sym.distinct), and
-    * skipping the shuffle keeps this a pure narrow projection — which lets
-    * the size-gate probe in [[connectedComponents]] short-circuit its scan
-    * instead of paying a full upstream pass before the first row. */
+    * NOT deduplicated here: [[connectedComponents]] dedups once as part of
+    * its size-gate probe (and union-find is idempotent per edge anyway), so
+    * deduping here too would just add a second shuffle. */
   def sameAsEdges(triples: Dataset[TripleRow]): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
@@ -43,39 +41,40 @@ object Canonicalize {
       .select($"subj".as("src"), $"obj_value".as("dst"))
   }
 
-  /** Size gate for the driver-local CC path: below this edge count the
-    * whole component computation is cheaper on the driver (one collect +
-    * union-find) than ~3 distributed iterations × (join + agg + checkpoint
-    * + probe) jobs. Same spirit as AQE's broadcast gate: tiny data wants a
-    * local algorithm. 500k string edges ≈ tens of MB — safe to collect. */
-  val LOCAL_CC_MAX_EDGES = 500000
+  /** Size gate for the driver-local CC path, in DISTINCT edges: below it
+    * the whole component computation is cheaper on the driver (one dedup
+    * pass + collect + union-find) than ~3-5 distributed iterations ×
+    * (join + agg + checkpoint + probe) jobs. Same spirit as AQE's broadcast
+    * gate: tiny data wants a local algorithm. 1M string edges ≈ ~150 MB on
+    * a 32 g driver — safe to collect. */
+  val LOCAL_CC_MAX_EDGES = 1000000
 
   /** Hash-min connected components. Input: (src, dst) string edges.
     * Output: (id, canonical) — every vertex labeled with the
     * lexicographically smallest IRI of its component.
     *
     * Two physical paths with identical results:
-    *  - |edges| ≤ LOCAL_CC_MAX_EDGES: driver-local union-find (zero extra
-    *    Spark jobs past the one pass that fetches the edges; the result is
-    *    a local relation, so downstream joins against it broadcast without
-    *    stats guessing). sameAs alias graphs are vocabulary-scale in most
-    *    corpora even when the corpus is 100 TB.
+    *  - ≤ LOCAL_CC_MAX_EDGES DISTINCT edges: driver-local union-find (the
+    *    result is a local relation, so downstream joins against it
+    *    broadcast without stats guessing). sameAs alias graphs are
+    *    vocabulary-scale in most corpora even when the corpus is 100 TB.
     *  - otherwise: distributed hash-min label propagation with AQE skew
     *    handling and lineage-truncating checkpoints.
     *
-    * The gate probes with limit(max+1).collect(). The probe's cost model
-    * depends on the edge plan: over a narrow projection (no shuffle —
-    * what [[sameAsEdges]] produces) CollectLimit executes partitions
-    * incrementally and genuinely short-circuits; if the caller passes an
-    * edge plan ending in a shuffle, the probe costs one full pass of that
-    * plan's map side. Raw (non-distinct) multiplicity counts against the
-    * gate, which only means a high-multiplicity-but-small graph routes to
-    * the distributed path — correct either way. */
+    * The gate deduplicates BEFORE probing (round 3): hub entities give the
+    * raw edge stream power-law multiplicity — at 4M synthetic pages there
+    * are ~600k raw but only ~6k distinct edges, and a raw-count gate was
+    * routing this vocabulary-scale graph to the (fixed-latency-dominated,
+    * scaling-hostile) distributed loop. The dedup's map-side partial
+    * aggregation collapses multiplicity before the shuffle, and the
+    * distributed path pays the same dedup anyway (sym.distinct), so the
+    * probe's only over-gate cost is one upstream pass — the price of not
+    * caching, already the pipeline's documented trade. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    val probe = edges.select($"src", $"dst")
+    val probe = edges.select($"src", $"dst").distinct()
       .limit(LOCAL_CC_MAX_EDGES + 1)
       .as[(String, String)].collect()
     if (probe.length <= LOCAL_CC_MAX_EDGES) {
