@@ -239,6 +239,35 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("n_stopwords"))
     }),
 
+    // --- training-data ops: temporal / mixing / packing ---
+    "asof_join" -> ((s, d) => {
+      // attribution: each purchase joined to the user's most recent click
+      // at-or-before it (backward inclusive as-of join, one shuffle)
+      val e = t(s, d, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // right side reduced to one row per (user, ts) — the asofJoin
+      // determinism contract
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      TemporalOps.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_id"), inner = true)
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          // ts is TIMESTAMP_NTZ in the parquet; the cast is safe for the
+          // difference (both sides shift identically, session TZ is UTC)
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("__asof_ts").cast("timestamp"))).as("gap_us"))
+    }),
+    "mix_weighted" -> ((s, d) =>
+      MixOps.weightedMix(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"), mixWeights)
+        .select(col("doc_id"), col("source"), col("copy"))),
+    "pack_sequences" -> ((s, d) =>
+      PackOps.packSequences(t(s, d, "documents"), "doc_id",
+        TextOps.tokenCount(col("text")), budget = 2048L, partitions = 8)),
+
     // --- training-data ops: similarity search ---
     "ann_brute_topk" -> ((s, d) =>
       SimilarityOps.bruteForceTopK(t(s, d, "embeddings"), 8, 10)),
@@ -262,6 +291,18 @@ object SparkEntry {
       MultimodalOps.frameSample(
         MultimodalOps.mediaFromPages(
           PagesSource.pages(s, math.min(PagesSource.countForSfDir(d), 2000))))))
+
+  /** Per-source training-mix weights for `mix_weighted`: numeric suffix
+    * mod 4 cycles {0.25, 1.0, 1.7, 2.5} (downsample / keep / fractional
+    * epochs / full epochs); src19 deliberately absent so the
+    * missing-stratum → dropped path is exercised. */
+  private val mixWeights: Map[String, Double] =
+    (0 until 19).map(k => s"src$k" -> (k % 4 match {
+      case 0 => 0.25
+      case 1 => 1.0
+      case 2 => 1.7
+      case _ => 2.5
+    })).toMap
 
   /** The dedup corpus: documents plus deterministic near-duplicate copies
     * (id + 10^9, last token dropped) so near-dup detection has guaranteed
@@ -385,6 +426,86 @@ object SparkEntry {
     val z2u = s"CAST($z2 AS UBIGINT)"
     s"xor($z2u, $z2u >> 31)"
   }
+
+  /** XXH64 of an 8-byte long with seed 42 — bit-exact Spark
+    * `xxhash64(longCol)` re-derived in DuckDB SQL. Single-lane XXH64:
+    * acc = seed + P5 + 8; k1 = rotl31(v·P2)·P1; acc = rotl27(acc⊕k1)·P1 +
+    * P4; then the 33/29/32 avalanche. Wrapping 64-bit multiplies use the
+    * same HUGEINT split-multiplication as [[splitmixSql]]; rotations are
+    * disjoint-bit adds of (x·2^r mod 2^64) and (x >> 64−r). Returns a
+    * signed BIGINT (Spark longs compare signed). */
+  private def xxhash64LongSql(inputExpr: String): String = {
+    val M64 = "18446744073709551616"
+    def mulmod(a: String, c: BigInt): String =
+      s"(( (($a) % 4294967296) * $c + " +
+        s"((( ($a) // 4294967296) * $c) % 4294967296) * 4294967296 ) % $M64)"
+    def u(e: String) = s"CAST($e AS UBIGINT)"
+    def h(e: String) = s"CAST($e AS HUGEINT)"
+    def rotl(x: String, r: Int): String =
+      u(s"(CAST((${h(x)} * ${BigInt(1) << r}) % $M64 AS UBIGINT) + ($x >> ${64 - r}))")
+    val P1 = BigInt("9E3779B185EBCA87", 16)
+    val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
+    val P3 = BigInt("165667B19E3779F9", 16)
+    val P4 = BigInt("85EBCA77C2B2AE63", 16)
+    val P5 = BigInt("27D4EB2F165667C5", 16)
+    val v = u(s"(${h(inputExpr)} + $M64) % $M64")
+    val k1 = rotl(u(mulmod(h(v), P2)), 31)
+    val k1m = u(mulmod(h(k1), P1))
+    val acc0 = rotl(s"xor(${u((BigInt(42) + P5 + 8).toString)}, $k1m)", 27)
+    val acc1 = u(s"(${mulmod(h(acc0), P1)} + $P4) % $M64")
+    val acc2 = s"xor($acc1, $acc1 >> 33)"
+    val acc3 = u(mulmod(h(acc2), P2))
+    val acc4 = s"xor($acc3, $acc3 >> 29)"
+    val acc5 = u(mulmod(h(acc4), P3))
+    val acc6 = s"xor($acc5, $acc5 >> 32)"
+    s"CAST(CASE WHEN $acc6 >= 9223372036854775808 THEN ${h(acc6)} - $M64 " +
+      s"ELSE ${h(acc6)} END AS BIGINT)"
+  }
+
+  /** [[MixOps.weightedMix]] over documents with [[mixWeights]]: the gate is
+    * pmod(xxhash64(doc_id), 10000) on both sides; weights quantized to
+    * 1e-4 so the whole compare is integer. */
+  private def mixWeightedOracle: String = {
+    val gate = s"(((${xxhash64LongSql("doc_id")}) % 10000) + 10000) % 10000"
+    """WITH g AS (
+         SELECT doc_id, source, """ + gate + """ AS gate,
+           CASE WHEN source = 'src19' THEN 0
+                WHEN CAST(substr(source, 4) AS INT) % 4 = 0 THEN 2500
+                WHEN CAST(substr(source, 4) AS INT) % 4 = 1 THEN 10000
+                WHEN CAST(substr(source, 4) AS INT) % 4 = 2 THEN 17000
+                ELSE 25000 END AS wq
+         FROM documents),
+       c AS (
+         SELECT doc_id, source,
+           CAST(wq // 10000
+                + CASE WHEN gate < wq % 10000 THEN 1 ELSE 0 END AS BIGINT)
+             AS n
+         FROM g)
+       SELECT doc_id, source,
+         CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS "copy"
+       FROM c WHERE n > 0"""
+  }
+
+  /** [[PackOps.packSequences]] over documents (budget 2048): a plain
+    * window cumsum in id order — the oracle can afford the single-partition
+    * form the distributed implementation exists to avoid. Token counts are
+    * the text_tokens oracle expression. */
+  private def packSequencesOracle: String =
+    """WITH tok AS (
+         SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT
+             AS n_tokens
+         FROM documents),
+       c AS (
+         SELECT doc_id, n_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER
+             (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS BIGINT) AS start_token
+         FROM tok)
+       SELECT doc_id, n_tokens, start_token,
+         CAST(start_token // 2048 AS BIGINT) AS bin_id
+       FROM c"""
 
   private def groupSignatureOracle: String = {
     def mulmod(a: String, c: String): String =
@@ -743,6 +864,24 @@ object SparkEntry {
     // bytes and DECODE them back to these exact features
     "mm_features" -> mmFeaturesOracle,
     "mm_frames" -> mmFramesOracle,
+    // as-of join oracled against DuckDB's NATIVE ASOF JOIN — a genuinely
+    // independent implementation of the same semantics (backward
+    // inclusive, right side pre-reduced to one row per (user, ts))
+    "asof_join" ->
+      """WITH purchases AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         clicks AS (
+           SELECT user_id, ts, max(event_id) AS click_id FROM events
+           WHERE event_type = 'click' GROUP BY user_id, ts)
+         SELECT p.event_id, p.user_id, c.click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+         FROM purchases p ASOF JOIN clicks c
+           ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    // deterministic weighted mix: Spark's xxhash64(long) re-derived in SQL
+    // (XXH64 single-lane: one wrapped-multiply round + avalanche, seed 42)
+    "mix_weighted" -> mixWeightedOracle,
+    "pack_sequences" -> packSequencesOracle,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS sum_qty_micro,

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: lay documents end-to-end in a deterministic global
+  * order and cut the concatenated token stream into fixed-budget bins —
+  * the standard "pack short documents into full context windows" step of
+  * an LLM training-data pipeline. Each document is assigned the bin its
+  * first token falls in, plus its global start offset.
+  *
+  * The naive Spark expression — `sum(n_tokens) over (ORDER BY id)` with no
+  * partitionBy — funnels the whole corpus through ONE window partition
+  * (Spark even warns "No Partition Defined for Window operation"): a
+  * single-task sort of 100 TB. This implementation is the distributed
+  * two-phase prefix sum instead:
+  *
+  *  1. split the id domain into P ranges at quantile cutpoints;
+  *  2. one tiny aggregation computes each range's token sum; the P sums
+  *     (P rows — bounded by the range count, not the data) come to the
+  *     driver and become exclusive per-range offsets in a literal map;
+  *  3. a per-range window (partitionBy range — P-way parallel) computes
+  *     local running sums, shifted by the range's offset.
+  *
+  * Determinism note (learned from an sf0.1 oracle catch): the obvious
+  * `repartitionByRange + spark_partition_id` formulation is WRONG here —
+  * the range partitioner samples its boundaries with an RDD-id-dependent
+  * seed, so the aggregation pass and the window pass can assign the same
+  * row to different ranges and corrupt offsets near boundaries. The
+  * cutpoints must be computed ONCE and embedded as plan literals; the
+  * range of a row is then a pure function of its id in both passes.
+  */
+object PackOps {
+
+  /** Assign (start_token, bin_id) to every document.
+    *
+    * @param idCol     numeric, unique per row — the global packing order
+    * @param tokenExpr token count per row (codegen'd expression, e.g.
+    *                  [[TextOps.tokenCount]])
+    * @param budget    bin capacity in tokens
+    * @param partitions number of ranges (= parallelism of the big pass;
+    *                  driver-side state is `partitions` longs)
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokenExpr: Column,
+      budget: Long, partitions: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+
+    // quantile cutpoints, computed once → literals shared by BOTH passes.
+    // Balance (not correctness) depends on their quality: any fixed
+    // cutpoints give the right answer, skewed ones only skew task sizes.
+    val cuts: Array[Double] =
+      if (partitions <= 1) Array.empty
+      else docs.stat.approxQuantile(idCol,
+        (1 until partitions).map(_.toDouble / partitions).toArray, 0.001)
+    val rangeOf: Column =
+      if (cuts.isEmpty) lit(0)
+      else cuts.distinct.sorted
+        .map(c => when(col(idCol) > lit(c), 1).otherwise(0))
+        .reduce(_ + _)
+
+    val base = docs.select(col(idCol), tokenExpr.as("n_tokens"))
+      .withColumn("__range", rangeOf)
+
+    // phase 1: per-range token sums — P rows, a bounded collect (the same
+    // class as AQE's own stats collection, not a data-sized collect)
+    val sums = base.groupBy(col("__range"))
+      .agg(sum(col("n_tokens")).as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val ranges = sums.keys.toSeq.sorted
+    val offsets = ranges.zip(ranges.scanLeft(0L)((acc, p) => acc + sums(p)))
+      .toMap
+    val offMap = typedLit(offsets)
+
+    // phase 2: local exclusive running sum within each sorted range + the
+    // range's global offset
+    val w = Window.partitionBy(col("__range")).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("start_token",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) +
+          coalesce(try_element_at(offMap, col("__range")), lit(0L)))
+      .withColumn("bin_id", expr(s"start_token div ${budget}L"))
+      .select(col(idCol), col("n_tokens"), col("start_token"), col("bin_id"))
+  }
+}

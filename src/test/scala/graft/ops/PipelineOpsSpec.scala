@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kg.SparkTestSession
+
+/** TemporalOps / MixOps / PackOps — the training-mix operator family. */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  // ------------------------------------------------------------- as-of join
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest right row at-or-before each left row") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 100L),
+      (10L, ts("2024-01-01 11:59:59"), 101L),
+      (10L, ts("2024-01-01 12:00:00"), 102L), // equal ts: must match event 2
+      (20L, ts("2024-01-01 09:00:01"), 200L)  // after left: no match
+    ).toDF("user_id", "ts", "click_id")
+    val out = TemporalOps.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+      Seq("click_id"), inner = true)
+      .select($"event_id", $"click_id").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 100L, 2L -> 102L))
+  }
+
+  test("asofJoin left mode keeps unmatched rows with null payload") {
+    import spark.implicits._
+    val left = Seq((1L, 20L, ts("2024-01-01 09:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((20L, ts("2024-01-01 09:00:01"), 200L))
+      .toDF("user_id", "ts", "click_id")
+    val out = TemporalOps.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+      Seq("click_id"), inner = false).collect()
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("click_id")))
+  }
+
+  test("asofJoin is invariant to input partitioning") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = e.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+    def run(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      TemporalOps.asofJoin(l, r, Seq("user_id"), "ts", "ts",
+        Seq("click_id"), inner = true)
+        .select($"event_id", $"click_id").as[(Long, Long)]
+        .collect().sorted.toSeq
+    val a = run(purchases, clicks)
+    val b = run(purchases.repartition(13), clicks.repartition(7))
+    assert(a.nonEmpty && a == b)
+  }
+
+  // ------------------------------------------------------------------- mix
+
+  test("weightedMix: integer weights replicate exactly, missing strata drop") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, if (i < 50) "a" else "b"))
+      .toDF("id", "src")
+    val out = MixOps.weightedMix(df, $"src", $"id", Map("a" -> 2.0))
+    val counts = out.groupBy($"src").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("a" -> 100L)) // 50 keys x 2 copies; b dropped
+    val copies = out.groupBy($"id").count().as[(Long, Long)].collect()
+    assert(copies.forall(_._2 == 2L))
+  }
+
+  test("weightedMix: fractional epochs land near the expected rate, deterministically") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, "a")).toDF("id", "src")
+    def run() = MixOps.weightedMix(df, $"src", $"id", Map("a" -> 1.7))
+      .groupBy($"id").count().as[(Long, Long)].collect().toMap
+    val first = run()
+    assert(first == run()) // pure function of the key
+    val third = first.values.count(_ == 2L)
+    assert(first.values.forall(c => c == 1L || c == 2L))
+    assert(third > 1200 && third < 1600, s"~70% of 2000 expected, got $third")
+  }
+
+  test("stratifiedSample: rate 1 keeps all, rate 0 absent drops, partition-invariant") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val kept = MixOps.stratifiedSample(df, $"src", $"id",
+      Map("a" -> 1.0, "b" -> 0.3))
+    val byStr = kept.groupBy($"src").count().as[(String, Long)].collect().toMap
+    assert(byStr("a") == 250L)
+    assert(byStr("b") > 40L && byStr("b") < 110L)
+    val again = MixOps.stratifiedSample(df.repartition(17), $"src", $"id",
+      Map("a" -> 1.0, "b" -> 0.3))
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(again == kept.select($"id").as[Long].collect().sorted.toSeq)
+  }
+
+  // ------------------------------------------------------------------ pack
+
+  test("packSequences matches a local prefix sum and is partition-count invariant") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = PackOps.packSequences(docs, "doc_id",
+      TextOps.tokenCount($"text"), budget = 512L, partitions = 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+    // local golden: cumsum in doc_id order
+    val toks = docs.select($"doc_id", TextOps.tokenCount($"text"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    var acc = 0L
+    val golden = toks.map { case (id, n) =>
+      val start = acc; acc += n; (id, n, start, start / 512L)
+    }.toSeq
+    assert(out == golden)
+
+    val p1 = PackOps.packSequences(docs, "doc_id",
+      TextOps.tokenCount($"text"), budget = 512L, partitions = 1)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(p1 == golden)
+  }
+
+  test("packSequences bins respect the budget boundary rule") {
+    import spark.implicits._
+    val docs = Seq((0L, 300L), (1L, 300L), (2L, 500L), (3L, 10L))
+      .toDF("doc_id", "n")
+    val out = PackOps.packSequences(docs, "doc_id", $"n",
+      budget = 512L, partitions = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // starts: 0, 300, 600, 1100 -> bins 0, 0, 1, 2
+    assert(out.map(_._3).toSeq == Seq(0L, 300L, 600L, 1100L))
+    assert(out.map(_._4).toSeq == Seq(0L, 0L, 1L, 2L))
+  }
+}
