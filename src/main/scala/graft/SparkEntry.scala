@@ -259,6 +259,22 @@ object SparkEntry {
           (unix_micros(col("ts").cast("timestamp")) -
             unix_micros(col("__asof_ts").cast("timestamp"))).as("gap_us"))
     }),
+    "interval_join" -> ((s, d) => {
+      // error-burst attribution: clicks by the same user within 2 hours
+      // after each error (bucketized range join — equi-join at any scale)
+      val e = t(s, d, "events")
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("start_us"))
+        .withColumn("end_us", col("start_us") + lit(7200L * 1000000L))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      TemporalOps.intervalJoin(errors, clicks, Seq("user_id"),
+        "start_us", "end_us", "ts_us", granularityUs = 7200L * 1000000L)
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(count(col("r_event_id")).as("n_clicks"))
+    }),
     "mix_weighted" -> ((s, d) =>
       MixOps.weightedMix(
         t(s, d, "documents").select(col("doc_id"), col("source")),
@@ -878,6 +894,20 @@ object SparkEntry {
            epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
          FROM purchases p ASOF JOIN clicks c
            ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    // bucketized interval join vs the plain inequality join DuckDB runs
+    "interval_join" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS start_us FROM events
+           WHERE event_type = 'error'),
+         c AS (
+           SELECT user_id, epoch_us(ts) AS ts_us FROM events
+           WHERE event_type = 'click')
+         SELECT e.event_id, e.user_id, count(*) AS n_clicks
+         FROM e JOIN c
+           ON c.user_id = e.user_id
+           AND c.ts_us >= e.start_us
+           AND c.ts_us < e.start_us + 7200000000
+         GROUP BY e.event_id, e.user_id""",
     // deterministic weighted mix: Spark's xxhash64(long) re-derived in SQL
     // (XXH64 single-lane: one wrapped-multiply round + avalanche, seed 42)
     "mix_weighted" -> mixWeightedOracle,

@@ -72,4 +72,49 @@ object TemporalOps {
         Seq(col(s"__m.$rightTs").as("__asof_ts")) ++
         rightPayload.map(p => col(s"__m.$p").as(p)): _*)
   }
+
+  /** Interval join: pair every left interval `[startUs, endUs)` with the
+    * right rows sharing its key whose timestamp falls inside it.
+    * Timestamps are epoch MICROSECONDS (long columns — cast TIMESTAMP_NTZ
+    * via `unix_micros` upstream).
+    *
+    * The declarative form — `l.key = r.key AND r.ts >= l.start AND r.ts <
+    * l.end` — gives Catalyst an equi-join with two residual range
+    * predicates, which is fine until one key is hot; worse, with NO key it
+    * degenerates to BroadcastNestedLoopJoin. This implementation joins on
+    * `(key, time bucket)` instead: each left interval is exploded to the
+    * `granularityUs` buckets it overlaps, each right row lands in exactly
+    * one bucket, and the exact range predicate filters the equi-join
+    * output. Every matching pair appears exactly once (a point's bucket is
+    * unique — no dedup pass), the shuffle key gains time-locality (hot
+    * entities spread over their active buckets), and the join stays a
+    * hash/sort-merge equi-join at any scale.
+    *
+    * Intervals longer than ~1000 buckets explode accordingly — pick
+    * `granularityUs` near the typical interval length (the standard
+    * bucketized-range-join tuning knob).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      startUs: String, endUs: String, rightTsUs: String,
+      granularityUs: Long): DataFrame = {
+    require(granularityUs > 0, "granularity must be positive")
+    val lb = left
+      // [start, end) overlaps buckets floor(start/G) .. floor((end-1)/G);
+      // empty intervals (end <= start) produce an empty sequence and drop
+      .withColumn("__bucket", explode(sequence(
+        expr(s"$startUs div ${granularityUs}L"),
+        expr(s"($endUs - 1L) div ${granularityUs}L"))))
+    // right columns renamed r_<name> up front: unambiguous self-join
+    // resolution and collision-free output by construction
+    val rb = right
+      .select(right.columns.map(c => col(c).as(s"r_$c")).toSeq: _*)
+      .withColumn("__rbucket", expr(s"r_$rightTsUs div ${granularityUs}L"))
+    val rTs = col(s"r_$rightTsUs")
+    lb.join(rb,
+        keys.map(k => col(k) === col(s"r_$k")).reduce(_ && _) &&
+          col("__bucket") === col("__rbucket") &&
+          rTs >= col(startUs) && rTs < col(endUs))
+      .drop("__bucket", "__rbucket")
+      .drop(keys.map(k => s"r_$k"): _*)
+  }
 }

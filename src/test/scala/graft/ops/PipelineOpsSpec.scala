@@ -59,6 +59,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  // --------------------------------------------------------- interval join
+
+  test("intervalJoin boundary semantics: start inclusive, end exclusive, cross-bucket") {
+    import spark.implicits._
+    val left = Seq((1L, 7L, 1000L, 3000L)).toDF("lid", "k", "start_us", "end_us")
+    val right = Seq(
+      (10L, 7L, 999L),  // before: out
+      (11L, 7L, 1000L), // == start: in
+      (12L, 7L, 2999L), // inside (different granularity bucket): in
+      (13L, 7L, 3000L), // == end: out
+      (14L, 8L, 1500L)  // wrong key: out
+    ).toDF("rid", "k", "ts_us")
+    val out = TemporalOps.intervalJoin(left, right, Seq("k"),
+      "start_us", "end_us", "ts_us", granularityUs = 1000L)
+      .select($"r_rid").as[Long].collect().sorted.toSeq
+    assert(out == Seq(11L, 12L))
+  }
+
+  test("intervalJoin equals the naive theta-join on real events") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val errors = e.filter($"event_type" === "error")
+      .select($"event_id".as("eid"), $"user_id",
+        unix_micros($"ts".cast("timestamp")).as("start_us"))
+      .withColumn("end_us", $"start_us" + 600L * 1000000L)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"event_id".as("cid"), $"user_id",
+        unix_micros($"ts".cast("timestamp")).as("ts_us"))
+    val bucketized = TemporalOps.intervalJoin(errors, clicks, Seq("user_id"),
+      "start_us", "end_us", "ts_us", granularityUs = 600L * 1000000L)
+      .select($"eid", $"r_cid").as[(Long, Long)].collect().sorted.toSeq
+    val naive = errors.join(clicks.withColumnRenamed("user_id", "cuid"),
+        $"cuid" === errors("user_id") &&
+          $"ts_us" >= $"start_us" && $"ts_us" < $"end_us")
+      .select($"eid", $"cid").as[(Long, Long)].collect().sorted.toSeq
+    assert(bucketized.nonEmpty && bucketized == naive)
+  }
+
   // ------------------------------------------------------------------- mix
 
   test("weightedMix: integer weights replicate exactly, missing strata drop") {
