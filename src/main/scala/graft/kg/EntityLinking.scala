@@ -13,13 +13,16 @@ import Model._
   *  2. LSH fallback for near-matches: MinHash over character-3-gram shingles,
   *     banded (b bands × r rows) so that near-duplicate surfaces collide on
   *     at least one band key with high probability; candidates verified with
-  *     exact Jaccard, best match per mention picked by a deterministic
+  *     exact Jaccard, best match per surface picked by a deterministic
   *     `max(struct(jaccard, entity))` aggregation (no window needed).
   *
-  * At 10^12-document scale the mention side never shuffles: both joins are
-  * broadcast (dict and dict-bands are bounded by vocabulary size, not corpus
-  * size). The only wide op is the final per-mention groupBy, keyed by
-  * (url, surface) — uniformly distributed by construction of url.
+  * Round-3 shape: EVERYTHING per-surface-form (normalize lambda, MinHash,
+  * banding, Jaccard) runs on the distinct-surface relation — vocabulary-
+  * scale — and folds into one size-gated (surface → entity, method) map.
+  * The mention OCCURRENCE stream (corpus-scale: 10^12 rows at target) is
+  * touched by exactly two codegen'd column plans: one map-side-combined
+  * distinct() and one broadcast-probe projection. No occurrence-side
+  * shuffle, no occurrence-side lambdas.
   */
 object EntityLinking {
 
@@ -54,38 +57,112 @@ object EntityLinking {
     graft.ops.DedupOps.jaccardSets(a, b)
 
   /** Detect mentions in the triple stream: literal objects of the mention
-    * predicate. Pure projection, no shuffle — and expressed as column ops
-    * BEFORE the typed map so filter/projection push down to the (parquet)
-    * triple source; the typed map runs on two pruned columns only. */
-  def mentions(triples: Dataset[TripleRow]): Dataset[Mention] = {
-    val spark = triples.sparkSession
-    import spark.implicits._
+    * predicate. PURE column projection — no typed map, no shuffle: the
+    * filter and two-column projection push down to the (parquet) triple
+    * source and the pass stays inside whole-stage codegen. Normalization
+    * deliberately does NOT happen here: it runs per DISTINCT surface
+    * inside [[link]] — at 10^12 mentions a per-occurrence normalize
+    * lambda was the occurrence stream's only non-codegen operator. */
+  def mentions(triples: Dataset[TripleRow]): DataFrame =
     triples.toDF()
-      .filter($"error".isNull && $"pred" === PagesSource.MENTIONS_PRED &&
-        $"obj_kind" === "literal")
-      .select($"url", $"obj_value")
-      .as[(String, String)]
-      .map { case (url, sv) => Mention(url, sv, normalize(sv)) }
+      .filter(col("error").isNull && col("pred") === PagesSource.MENTIONS_PRED &&
+        col("obj_kind") === "literal")
+      .select(col("url"), col("obj_value").as("surface"))
+
+  /** Link mentions `(url, surface)` against the dictionary. Returns one row
+    * per mention occurrence that found a match (exact preferred over lsh).
+    *
+    * ALL per-surface-form work — normalization, MinHash, banding, Jaccard
+    * verification — runs on the DISTINCT surface set (vocabulary-shaped,
+    * zipf), never per occurrence: the result is a (surface → entity) map
+    * that the occurrence stream consumes with a single broadcast join. The
+    * occurrence-scale passes are therefore one distinct() (map-side
+    * combined) and one broadcast-join projection, both codegen'd column
+    * plans with zero lambdas. */
+  def link(mentions: DataFrame, dict: Dataset[DictEntry],
+      maxLocal: Int = MAX_LOCAL_NORM_MATCHES): DataFrame = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+
+    // ONE capped collect doubles as the size-gate probe AND the data fetch
+    // (CollectLimit over the map-side-combined distinct short-circuits).
+    // Both the distinct-surface set and the dictionary must fit the gate
+    // for the local path; the dictionary already has to fit the driver for
+    // the exact phase's broadcast join either way.
+    val distinctSurfaces = mentions.select($"surface").distinct()
+    val surfProbe = distinctSurfaces.limit(maxLocal + 1).as[String].collect()
+    val dictProbe =
+      if (surfProbe.length <= maxLocal) dict.limit(maxLocal + 1).collect()
+      else Array.empty[DictEntry]
+
+    val surfaceMap: DataFrame =
+      if (surfProbe.length <= maxLocal && dictProbe.length <= maxLocal)
+        broadcast(spark.createDataset(
+            localSurfaceMap(surfProbe, dictProbe).toSeq)
+          .toDF("surface", "entity_iri", "method"))
+      else distributedSurfaceMap(distinctSurfaces, dict)
+
+    // ONE pass over the mention occurrence stream: a broadcast hash probe
+    // on the raw surface string — no normalize, no lambdas.
+    mentions
+      .join(surfaceMap, Seq("surface"))
+      .select($"url", $"surface", $"entity_iri", $"method")
   }
 
-  /** Link mentions against the dictionary. Returns one row per mention that
-    * found a match (exact preferred over lsh). */
-  def link(mentions: Dataset[Mention], dict: Dataset[DictEntry]): DataFrame = {
-    val spark = mentions.sparkSession
+  /** Driver-local (surface → entity, method) map — the under-gate path.
+    * The whole linking decision is a pure function of (distinct surfaces,
+    * dictionary), both vocabulary-scale here; computing it locally
+    * replaces ~10 tiny scheduler stages (distinct → normalize → exact
+    * join → anti join → band flatMaps → band join → dedup → UDF → groupBy
+    * → collect) with microseconds of JVM work — the same tiny-data-wants-
+    * a-local-algorithm trade as Canonicalize's union-find path. Semantics
+    * are identical to [[distributedSurfaceMap]] (tested both ways):
+    * exact matches emit one row per matching dict entry; misses take the
+    * best LSH candidate by (jaccard, iri) — the tuple ordering Spark's
+    * max(struct(jaccard, cand_iri)) applies. */
+  private[kg] def localSurfaceMap(surfaces: Array[String],
+      dictArr: Array[DictEntry]): Array[(String, String, String)] = {
+    val byNorm = dictArr.groupBy(_.surface)
+    val bandIdx = dictArr
+      .flatMap(d => bands(minhash(shingles(d.surface))).map(bh => bh -> d))
+      .groupBy(_._1).map { case (bh, es) => bh -> es.map(_._2) }
+    surfaces.flatMap { s =>
+      val norm = normalize(s)
+      byNorm.get(norm) match {
+        case Some(entries) =>
+          entries.toSeq.map(e => (s, e.entity_iri, "exact"))
+        case None =>
+          val nsh = shingles(norm)
+          val scored = bands(minhash(nsh))
+            .flatMap(bh => bandIdx.getOrElse(bh, Array.empty[DictEntry]))
+            .distinct
+            .map(d => (jaccard(nsh, shingles(d.surface)), d.entity_iri))
+            .filter(_._1 >= JACCARD_THRESHOLD)
+          if (scored.isEmpty) Nil else List((s, scored.max._2, "lsh"))
+      }
+    }
+  }
+
+  /** The at-scale path: the same decision as [[localSurfaceMap]] as a
+    * distributed plan (used verbatim when the distinct-surface set or the
+    * dictionary exceeds the local gate). */
+  private def distributedSurfaceMap(distinctSurfaces: DataFrame,
+      dict: Dataset[DictEntry]): DataFrame = {
+    val spark = distinctSurfaces.sparkSession
     import spark.implicits._
 
     val dictDf = dict.toDF("dict_surface", "entity_iri")
 
-    // LSH near-matching runs per DISTINCT normalized surface, not per
-    // mention occurrence. Candidate generation and Jaccard verification
-    // cost is inherently per-surface-form; running it per occurrence
-    // multiplies the band-collision blowup by corpus size. The distinct-norm
-    // set is vocabulary-shaped (zipf), so this turns an O(mentions ×
-    // collisions) explosion into O(|distinct norms| × collisions).
-    // distinct() partial-aggregates map-side: one cheap pass.
-    val missNorms = mentions.toDF().select($"norm").distinct()
-      .join(broadcast(dictDf), $"norm" === $"dict_surface", "left_anti")
-      .as[String]
+    // the one typed map in the stage, on distinct surfaces only
+    val surfaceNorm = distinctSurfaces
+      .as[String].map(s => (s, normalize(s))).toDF("surface", "norm")
+
+    val exact = surfaceNorm
+      .join(broadcast(dictDf), $"norm" === $"dict_surface", "left")
+      .select($"surface", $"norm", $"entity_iri")
+
+    val missNorms = exact.filter($"entity_iri".isNull)
+      .select($"norm").distinct().as[String]
 
     val normBands = missNorms.flatMap { norm =>
       bands(minhash(shingles(norm))).iterator.map { case (b, h) => (norm, b, h) }
@@ -118,27 +195,12 @@ object EntityLinking {
       .agg(max(struct($"jaccard", $"cand_iri")).as("best"))
       .select($"norm", $"best.cand_iri".as("lsh_iri"))
 
-    // bestPerNorm is bounded by corpus-distinct near-miss norms that
-    // matched the dictionary — usually vocabulary-ish but not structurally
-    // bounded. Size-gate with a capped collect (same pattern as the CC
-    // local path): under the cap the result becomes a LOCAL relation, so
-    // the mention-stream join below is a guaranteed broadcast with no
-    // mention-side shuffle and no recompute of the distinct-norm pass;
-    // over the cap, fall back to the distributed plan and let AQE decide.
-    val bestRows = bestPerNormPlan
-      .limit(MAX_LOCAL_NORM_MATCHES + 1).as[(String, String)].collect()
-    val bestPerNorm =
-      if (bestRows.length <= MAX_LOCAL_NORM_MATCHES)
-        broadcast(spark.createDataset(bestRows.toSeq).toDF("norm", "lsh_iri"))
-      else bestPerNormPlan
-
-    // ONE pass over the mention stream: the exact dictionary is a broadcast
-    // lookup (vocabulary-bounded by construction).
-    mentions.toDF()
-      .join(broadcast(dictDf), $"norm" === $"dict_surface", "left")
-      .join(bestPerNorm, Seq("norm"), "left")
+    // exact matches preferred over LSH. Both branches derive from the same
+    // distinct shuffle — ReusedExchange executes it once.
+    exact
+      .join(bestPerNormPlan, Seq("norm"), "left")
       .filter($"entity_iri".isNotNull || $"lsh_iri".isNotNull)
-      .select($"url", $"surface",
+      .select($"surface",
         coalesce($"entity_iri", $"lsh_iri").as("entity_iri"),
         when($"entity_iri".isNotNull, lit("exact")).otherwise(lit("lsh"))
           .as("method"))

@@ -38,9 +38,6 @@ object Model {
       parsed: Boolean,
       byte_identical: Boolean)
 
-  /** A detected mention: surface form occurring in a document. */
-  final case class Mention(url: String, surface: String, norm: String)
-
   /** Dictionary entry for entity linking (broadcast side). */
   final case class DictEntry(surface: String, entity_iri: String)
 

@@ -104,6 +104,75 @@ object EventStreams {
       }
   }
 
+  final case class AsofEnriched(
+      event_id: Long,
+      user_id: Long,
+      ts: Timestamp,
+      click_id: Option[Long],
+      gap_ms: Option[Long])
+
+  final case class LatestClick(tsMs: Long, id: Long)
+
+  /** Streaming as-of enrichment — the streaming counterpart of
+    * [[graft.ops.TemporalOps.asofJoin]]: each `purchase` event is enriched
+    * with the user's latest `click` at-or-before it. State per user is ONE
+    * tiny (ts, id) record (not a window buffer), expired by event-time
+    * timeout when a user goes idle past the horizon — bounded state on an
+    * unbounded stream.
+    *
+    * Within a micro-batch events are processed in (ts, type, id) order
+    * with clicks before purchases at equal timestamps, matching the batch
+    * operator's backward-inclusive semantics. Across batches the
+    * enrichment is per-arrival-order: a click that ARRIVES after a
+    * purchase was already emitted does not retro-match it (streams emit
+    * once) — the standard streaming relaxation of the batch join.
+    */
+  def streamingAsof(events: Dataset[Event],
+      horizonMs: Long = 2 * 3600 * 1000L): Dataset[AsofEnriched] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    events
+      .withWatermark("ts", s"$horizonMs milliseconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LatestClick, AsofEnriched](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[LatestClick]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // clicks sort before purchases at equal ts (backward INCLUSIVE)
+            val sorted = evs.toSeq.sortBy(e =>
+              (e.ts.getTime, if (e.event_type == "click") 0 else 1, e.event_id))
+            var latest = state.getOption
+            var maxTs = Long.MinValue
+            val out = Vector.newBuilder[AsofEnriched]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              maxTs = math.max(maxTs, t)
+              e.event_type match {
+                case "click" =>
+                  // ties on ts resolve to the largest id — same rule the
+                  // batch operator's pre-reduce (max event_id) applies
+                  if (latest.forall(c =>
+                      t > c.tsMs || (t == c.tsMs && e.event_id > c.id)))
+                    latest = Some(LatestClick(t, e.event_id))
+                case "purchase" =>
+                  out += AsofEnriched(e.event_id, userId, e.ts,
+                    latest.map(_.id), latest.map(c => t - c.tsMs))
+                case _ => ()
+              }
+            }
+            latest.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(math.max(maxTs, c.tsMs) + horizonMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming triple extraction: pages stream → triples stream. Stateless
     * row-local transform — watermark-free, scales with input partitions. */
   def streamingTriples(pages: Dataset[graft.kg.Model.Page]): DataFrame = {

@@ -73,6 +73,18 @@ class KgPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("entity linking: local and distributed surface-map paths agree") {
+    import spark.implicits._
+    val triples = TripleExtraction.run(PagesSource.pages(spark, 300))
+    val m = EntityLinking.mentions(triples)
+    val dict = PagesSource.dictionary(spark)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(String, String, String, String)].collect().sorted.toSeq
+    val local = rows(EntityLinking.link(m, dict))
+    val dist = rows(EntityLinking.link(m, dict, maxLocal = 0))
+    assert(local.nonEmpty && local == dist)
+  }
+
   test("connected components: aliases collapse to canonical ids") {
     import spark.implicits._
     val edges = Seq(

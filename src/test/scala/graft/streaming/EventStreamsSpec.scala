@@ -112,4 +112,37 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(spark.sql("SELECT * FROM st WHERE error IS NULL").count() > 0)
     } finally query.stop()
   }
+
+  test("streaming as-of enrichment matches latest click, carries state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = streamingAsof(input.toDS(), horizonMs = 10 * 3600 * 1000L)
+      .writeStream.format("memory").queryName("sa")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: click then purchase (same batch), purchase with no click
+      input.addData(
+        Event(100, ts(0), 1, "click", 0.0),
+        Event(101, ts(5), 1, "click", 0.0),
+        Event(102, ts(10), 1, "purchase", 9.0), // -> click 101 (latest)
+        Event(200, ts(10), 2, "purchase", 5.0)) // -> no click: None
+      query.processAllAvailable()
+      // batch 2: state carries user 1's latest click; a newer click wins
+      input.addData(
+        Event(103, ts(20), 1, "purchase", 1.0), // -> still click 101
+        Event(104, ts(30), 1, "click", 0.0),
+        Event(105, ts(31), 1, "purchase", 1.0)) // -> click 104
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, click_id, gap_ms FROM sa").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(rows == Set(
+        (102L, 101L, 5 * 60000L),
+        (200L, -1L, -1L),
+        (103L, 101L, 15 * 60000L),
+        (105L, 104L, 1 * 60000L)))
+    } finally query.stop()
+  }
 }
