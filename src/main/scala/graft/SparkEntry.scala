@@ -195,6 +195,21 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+    "text_pii" -> ((s, d) => {
+      // the corpus is synthetic word-salad with no PII, so both engine and
+      // oracle graft the SAME deterministic email/phone/id substrings onto
+      // each document before scrubbing — guaranteed positives at any scale
+      val id = col("doc_id").cast("string")
+      val aug = concat(col("text"),
+        lit(" contact user"), id, lit("@example.com or 555-01"), id,
+        lit(" ref "), (col("doc_id") * 1000000L + 123456L).cast("string"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.piiScrub(aug).as("scrubbed"),
+        TextOps.matchCount(aug, TextOps.PII_EMAIL).as("n_emails"),
+        TextOps.matchCount(aug, TextOps.PII_PHONE).as("n_phones"),
+        TextOps.matchCount(aug, TextOps.PII_NUM).as("n_nums"))
+    }),
 
     // --- training-data ops: dedup ---
     "dedup_group_signature" -> ((s, d) => {
@@ -1074,6 +1089,30 @@ object SparkEntry {
            string_split_regex(lower(text), '[^a-z0-9]+'),
            x -> length(x) > 0), ' ')) AS fp
          FROM documents""",
+    // PII scrub: patterns restricted to the Java∩RE2 regex subset so the
+    // replace/count semantics match byte-for-byte; 'g' flag because DuckDB
+    // regexp_replace is first-match-only by default (Spark replaces all)
+    "text_pii" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-01' || CAST(doc_id AS VARCHAR)
+                  || ' ref ' || CAST(doc_id * 1000000 + 123456 AS VARCHAR)
+               AS t
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}\b', '<PHONE>', 'g'),
+             '\b[0-9]{6,}\b', '<NUM>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(t,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t,
+             '\b[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}\b')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '\b[0-9]{6,}\b')) AS BIGINT)
+             AS n_nums
+         FROM aug""",
     // LSH near-dup output is oracle-able as ALL-PAIRS exact word-3-gram
     // Jaccard: banding recall is 1.0 on the (deterministic, fixed) sf0.01
     // corpus — measured exhaustively — so the candidate pruning drops

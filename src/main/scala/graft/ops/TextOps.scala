@@ -68,6 +68,28 @@ object TextOps {
     when(best.getField("s") > 0, best.getField("c")).otherwise(lit("und"))
   }
 
+  /** PII scrubbing for a curation pipeline: redact email addresses, phone
+    * numbers, and long digit runs with typed placeholder tokens, in that
+    * order (emails first so their digits can't half-match as numbers).
+    * Patterns restrict to the regex subset Java and RE2 interpret
+    * identically (char classes, bounded repetition, \b) — scrubbing is
+    * exactly reproducible on the DuckDB oracle side. Narrow codegen'd
+    * projection: no shuffle, no lambdas. */
+  val PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PII_PHONE = "\\b[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}\\b"
+  val PII_NUM = "\\b[0-9]{6,}\\b"
+
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PII_EMAIL, "<EMAIL>"),
+        PII_PHONE, "<PHONE>"),
+      PII_NUM, "<NUM>")
+
+  /** Count of matches of `pattern` in `text` (for redaction metrics). */
+  def matchCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("long")
+
   /** Document fingerprint (md5 hex of the normalized token stream) —
     * deterministic content id for lineage/exact dedup. md5 (not xxhash64)
     * so the oracle engine computes the identical value; both are codegen'd

@@ -175,6 +175,23 @@ class OpsSpec extends AnyFunSuite {
       "query fetch must stay in column space (no object deserialization)")
   }
 
+  test("PII scrub redacts emails, phones, and digit runs; counts match") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to bob.smith+x@corp.example.org or call 555-0123 now"),
+      (2L, "order 123456789 shipped; tracking 555-123-4567"),
+      (3L, "no pii here at all")).toDF("id", "text")
+    val out = df.select($"id", TextOps.piiScrub($"text").as("s"),
+      TextOps.matchCount($"text", TextOps.PII_EMAIL).as("e"),
+      TextOps.matchCount($"text", TextOps.PII_PHONE).as("p"),
+      TextOps.matchCount($"text", TextOps.PII_NUM).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ("write to <EMAIL> or call <PHONE> now", 1L, 1L, 0L))
+    assert(out(2L) == ("order <NUM> shipped; tracking <PHONE>", 0L, 1L, 1L))
+    assert(out(3L) == ("no pii here at all", 0L, 0L, 0L))
+  }
+
   test("language id classifies constructed sentences correctly") {
     // the documents table's text is English-ish bag-of-words regardless of
     // its lang label, so langId is validated on real sentences instead
