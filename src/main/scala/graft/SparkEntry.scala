@@ -295,6 +295,10 @@ object SparkEntry {
         t(s, d, "documents").select(col("doc_id"), col("source")),
         col("source"), col("doc_id"), mixWeights)
         .select(col("doc_id"), col("source"), col("copy"))),
+    "mix_splits" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        MixOps.assignSplit(col("doc_id"),
+          Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)).as("split"))),
     "pack_sequences" -> ((s, d) =>
       PackOps.packSequences(t(s, d, "documents"), "doc_id",
         TextOps.tokenCount(col("text")), budget = 2048L, partitions = 8)),
@@ -515,6 +519,17 @@ object SparkEntry {
        SELECT doc_id, source,
          CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS "copy"
        FROM c WHERE n > 0"""
+  }
+
+  /** [[MixOps.assignSplit]] with 98/1/1 train/val/test fractions: gate
+    * bucket ranges [0,9800) / [9800,9900) / [9900,10000). */
+  private def mixSplitsOracle: String = {
+    val gate = s"(((${xxhash64LongSql("doc_id")}) % 10000) + 10000) % 10000"
+    s"""SELECT doc_id,
+         CASE WHEN $gate < 9800 THEN 'train'
+              WHEN $gate < 9900 THEN 'val'
+              ELSE 'test' END AS split
+       FROM documents"""
   }
 
   /** [[PackOps.packSequences]] over documents (budget 2048): a plain
@@ -926,6 +941,7 @@ object SparkEntry {
     // deterministic weighted mix: Spark's xxhash64(long) re-derived in SQL
     // (XXH64 single-lane: one wrapped-multiply round + avalanche, seed 42)
     "mix_weighted" -> mixWeightedOracle,
+    "mix_splits" -> mixSplitsOracle,
     "pack_sequences" -> packSequencesOracle,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

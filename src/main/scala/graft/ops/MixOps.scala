@@ -33,6 +33,24 @@ object MixOps {
     df.filter(gate(key) < coalesce(try_element_at(quantized(rates), strata),
       lit(0L)))
 
+  /** Deterministic train/val/test split assignment: the gate bucket maps
+    * to consecutive ranges sized by `fractions` (in listed order, last
+    * split absorbs rounding). A pure function of the key — re-runs,
+    * repartitions, and incremental corpus growth never move an existing
+    * row between splits (the property that prevents eval-set leakage when
+    * a corpus is re-snapshotted). Narrow projection, no shuffle. */
+  def assignSplit(key: Column, fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got $fractions")
+    val g = gate(key)
+    val bounds = fractions.map(_._2).scanLeft(0L) {
+      (acc, f) => acc + math.round(f * BUCKETS)
+    }.tail
+    fractions.init.zip(bounds).foldRight(lit(fractions.last._1): Column) {
+      case (((name, _), bound), fallback) => when(g < bound, name).otherwise(fallback)
+    }
+  }
+
   /** Weighted mix with fractional epochs: weight 2.7 emits 2 copies of
     * every row plus a third copy for a deterministic 70% of keys; weight
     * 0.25 keeps 25% of rows; strata missing from `weights` are dropped.

@@ -137,6 +137,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again == kept.select($"id").as[Long].collect().sorted.toSeq)
   }
 
+  test("assignSplit: ranges match the gate, stable under growth") {
+    import spark.implicits._
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val df = (0L until 1000L).toDF("id")
+    val got = df.select($"id", MixOps.assignSplit($"id", fr).as("s"),
+      MixOps.gate($"id").as("g")).as[(Long, String, Long)].collect()
+    got.foreach { case (_, s, g) =>
+      val expected = if (g < 8000) "train" else if (g < 9000) "val" else "test"
+      assert(s == expected)
+    }
+    // growing the corpus never reassigns an existing key
+    val bigger = (0L until 2000L).toDF("id")
+      .select($"id", MixOps.assignSplit($"id", fr).as("s"))
+      .as[(Long, String)].collect().toMap
+    got.foreach { case (id, s, _) => assert(bigger(id) == s) }
+    intercept[IllegalArgumentException] {
+      MixOps.assignSplit($"id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   // ------------------------------------------------------------------ pack
 
   test("packSequences matches a local prefix sum and is partition-count invariant") {
