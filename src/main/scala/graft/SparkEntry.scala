@@ -157,6 +157,21 @@ object SparkEntry {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_rows"),
           (sum(dec(col("l_quantity"))) * 1000000).cast("long").as("sum_qty_micro"))),
+    "q12_profile" -> ((s, d) => {
+      // column profiling with EXACT percentiles (sort-based `percentile`,
+      // not approx_percentile): quartiles only, because p∈{.25,.5,.75}
+      // makes the interpolation fraction g = frac(p·(n−1)) exactly
+      // representable — both engines then compute bit-identical doubles
+      val qm = (dec(col("l_quantity")) * 1000000).cast("long")
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), qm.as("qm"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          min(col("qm")).as("min_q"), max(col("qm")).as("max_q"),
+          percentile(col("qm"), lit(0.25)).as("p25"),
+          percentile(col("qm"), lit(0.5)).as("p50"),
+          percentile(col("qm"), lit(0.75)).as("p75"))
+    }),
     "q10_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
@@ -977,6 +992,16 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS sum_value_micro
          FROM events GROUP BY 1, 2""",
+    "q12_profile" ->
+      """SELECT l_returnflag, count(*) AS n,
+         min(qm) AS min_q, max(qm) AS max_q,
+         quantile_cont(qm, 0.25) AS p25,
+         quantile_cont(qm, 0.5) AS p50,
+         quantile_cont(qm, 0.75) AS p75
+         FROM (SELECT l_returnflag,
+           CAST(CAST(l_quantity AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS qm
+           FROM lineitem)
+         GROUP BY l_returnflag""",
     "q7_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
          count(*) AS n_events
