@@ -210,6 +210,39 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+    "text_ngrams" -> ((s, d) => {
+      // corpus trigram counts (LM-statistics / contamination primitive):
+      // explode → map-side-combined count → TakeOrdered top-100 with a
+      // deterministic (count desc, ngram asc) tie-break
+      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+        w => length(w) > 0)
+      val tris = when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i),
+            element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      t(s, d, "documents")
+        .select(explode(tris).as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram").asc)
+        .limit(100)
+    }),
+    "text_contamination" -> ((s, d) => {
+      // benchmark decontamination: flag documents sharing >= 8 distinct
+      // winnowing fingerprints with a designated benchmark subset
+      // (doc_id % 97 == 0 stands in for the eval-set table). Fingerprint
+      // sets are position-robust (TextOps.winnow), the join is
+      // fingerprint-keyed (AQE broadcasts the benchmark side), and the
+      // per-doc distinct count is one map-side-combined aggregation.
+      val fps = TextOps.winnowFingerprints(t(s, d, "documents"))
+      val bench = fps.filter(col("doc_id") % 97 === 0)
+        .select(col("fp")).distinct()
+      fps.filter(col("doc_id") % 97 =!= 0)
+        .join(bench, Seq("fp"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("fp")).as("shared_fps"))
+        .filter(col("shared_fps") >= 8)
+    }),
     "text_pii" -> ((s, d) => {
       // the corpus is synthetic word-salad with no PII, so both engine and
       // oracle graft the SAME deterministic email/phone/id substrings onto
@@ -1185,6 +1218,26 @@ object SparkEntry {
     // sequential minIdx!=last dedup because the rightmost-min index is
     // non-decreasing as the window slides
     "text_winnow" -> winnowOracle,
+    "text_ngrams" ->
+      """WITH toks AS (
+           SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> length(x) > 0) AS t
+           FROM documents),
+         tris AS (
+           SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ngram
+           FROM toks WHERE len(t) >= 3)
+         SELECT ngram, count(*) AS n FROM tris GROUP BY ngram
+         ORDER BY n DESC, ngram ASC LIMIT 100""",
+    // decontamination over the same winnow-fingerprint derivation the
+    // text_winnow oracle verifies (embedded as a CTE)
+    "text_contamination" ->
+      s"""WITH fps AS ($winnowOracle),
+         bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0),
+         cand AS (SELECT doc_id, fp FROM fps WHERE doc_id % 97 <> 0)
+         SELECT c.doc_id, CAST(count(DISTINCT c.fp) AS BIGINT) AS shared_fps
+         FROM cand c JOIN bench b USING (fp)
+         GROUP BY c.doc_id HAVING count(DISTINCT c.fp) >= 8""",
     // embedding near-dup: all-pairs cosine in DuckDB (multi-table SRP
     // recall is 1.0 for the scaled-copy duplicates, which collide in every
     // table); ROUNDED permille — duplicates sit exactly at cosine 1.0,
