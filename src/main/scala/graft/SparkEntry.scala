@@ -213,15 +213,21 @@ object SparkEntry {
     "text_ngrams" -> ((s, d) => {
       // corpus trigram counts (LM-statistics / contamination primitive):
       // explode → map-side-combined count → TakeOrdered top-100 with a
-      // deterministic (count desc, ngram asc) tie-break
-      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
-        w => length(w) > 0)
+      // deterministic (count desc, ngram asc) tie-break.
+      // `toks` is materialized as a COLUMN before the higher-order lambda:
+      // a subexpression referenced inside transform()'s lambda is
+      // re-evaluated per array element (no subexpression elimination
+      // across lambda boundaries), which re-ran split+filter per trigram
+      // — measured 13 s → 0.4 s at sf0.1 for this one-line restructure
+      val toks = col("toks")
       val tris = when(size(toks) >= 3,
         transform(sequence(lit(1), size(toks) - 2),
           i => concat_ws(" ", element_at(toks, i),
             element_at(toks, i + 1), element_at(toks, i + 2))))
         .otherwise(array().cast("array<string>"))
       t(s, d, "documents")
+        .select(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          w => length(w) > 0).as("toks"))
         .select(explode(tris).as("ngram"))
         .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram").asc)
