@@ -31,8 +31,9 @@ object EntityLinking {
   val NUM_BANDS = NUM_HASHES / BAND_ROWS
   val JACCARD_THRESHOLD = 0.35
 
-  /** Size gate for collecting the per-norm LSH match table to the driver
-    * (strings; 2M rows ≈ low hundreds of MB — stay well under that). */
+  /** Size gate (rows) for the driver-local linking path: both the
+    * distinct-surface set and the dictionary must fit (strings; 2M rows ≈
+    * low hundreds of MB — stay well under driver heap). */
   val MAX_LOCAL_NORM_MATCHES = 2000000
 
   def normalize(s: String): String =
