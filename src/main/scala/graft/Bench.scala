@@ -162,7 +162,13 @@ object Bench {
           coresPerWorker = sys.env.getOrElse("GRAFT_CLUSTER_CPW", "2").toInt)
         catch {
           case e: Throwable =>
-            s"""{"error":"${e.toString.replaceAll("[\"\\\\\n]", " ").take(160)}"}"""
+            // strip quotes/backslashes AND all control chars (<0x20): a tab
+            // or CR in a Hadoop/Spark exception message would break the
+            // driver's json.load of the bench line (same rule as Verify's
+            // oracle_sql.json escaping)
+            s"""{"error":"${e.toString
+              .replaceAll("[\"\\\\]", " ")
+              .replaceAll("[\\x00-\\x1F]", " ").take(160)}"}"""
         }
 
     def f(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)

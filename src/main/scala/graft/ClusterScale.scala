@@ -184,13 +184,18 @@ object ClusterScale {
       (p._5 / p._4) / ((p._2 / p._1) * ratio)
     def best(): (Double, Long, Double, Double, Long, Double) = {
       val plausible = pairs.filter(pairEff(_) <= 1.02)
-      (if (plausible.nonEmpty) plausible else pairs).maxBy(pairEff)
+      if (plausible.nonEmpty) plausible.maxBy(pairEff)
+      // every pair superlinear = a low-side-only storm hit each one; the
+      // LEAST inflated pair is the closest to physical (maxBy would
+      // publish the most storm-inflated number as the headline)
+      else pairs.minBy(pairEff)
     }
     // storm-aware extra sampling: when even the best same-window pair is
     // below the BASELINE gate (0.8), spend a bounded budget on extra pairs
     // (storms pass; a later pair lands in a quieter window)
     var extraBudget = sys.env.getOrElse("GRAFT_CLUSTER_EXTRA", "2").toInt
-    while (extraBudget > 0 && pairEff(best()) < 0.80) {
+    while (extraBudget > 0 &&
+        (pairEff(best()) < 0.80 || pairEff(best()) > 1.02)) {
       measurePair()
       extraBudget -= 1
     }

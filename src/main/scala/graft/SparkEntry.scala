@@ -366,20 +366,25 @@ object SparkEntry {
       SimilarityOps.ivfTopK(t(s, d, "embeddings"), 8, 10)),
 
     // --- multimodal: REAL container decode (BMP/WAV/PPM synthesized and
-    //     parsed as wire formats; oracled via generator arithmetic) ---
+    //     parsed as wire formats; oracled via generator arithmetic). Page
+    //     count is a FIXED 2000 (pages are synthetic — independent of the
+    //     sf dir), because the static oracle SQL (mmBaseSql) hardcodes the
+    //     same range; a min(countForSfDir, 2000) here silently diverged
+    //     from the oracle for dirs under 2000 pages ---
     "mm_features" -> ((s, d) => {
       import s.implicits._
       MultimodalOps.extractFeatures(
-        MultimodalOps.mediaFromPages(
-          PagesSource.pages(s, math.min(PagesSource.countForSfDir(d), 2000))))
+        MultimodalOps.mediaFromPages(PagesSource.pages(s, MM_PAGES)))
         .toDF().select(col("media_id"), col("kind"), col("byte_len"),
           col("width"), col("height"), col("sample_rate"),
           col("n_units"), col("content_sum"))
     }),
     "mm_frames" -> ((s, d) =>
       MultimodalOps.frameSample(
-        MultimodalOps.mediaFromPages(
-          PagesSource.pages(s, math.min(PagesSource.countForSfDir(d), 2000))))))
+        MultimodalOps.mediaFromPages(PagesSource.pages(s, MM_PAGES)))))
+
+  /** Fixed page count shared by the mm_* queries AND their oracles. */
+  private val MM_PAGES = 2000L
 
   /** Per-source training-mix weights for `mix_weighted`: numeric suffix
     * mod 4 cycles {0.25, 1.0, 1.7, 2.5} (downsample / keep / fractional
@@ -516,14 +521,20 @@ object SparkEntry {
     s"xor($z2u, $z2u >> 31)"
   }
 
-  /** XXH64 of an 8-byte long with seed 42 — bit-exact Spark
-    * `xxhash64(longCol)` re-derived in DuckDB SQL. Single-lane XXH64:
+  /** XXH64 of an 8-byte long — bit-exact Spark `xxhash64(longCol)`
+    * re-derived in DuckDB SQL. Single-lane XXH64:
     * acc = seed + P5 + 8; k1 = rotl31(v·P2)·P1; acc = rotl27(acc⊕k1)·P1 +
     * P4; then the 33/29/32 avalanche. Wrapping 64-bit multiplies use the
     * same HUGEINT split-multiplication as [[splitmixSql]]; rotations are
     * disjoint-bit adds of (x·2^r mod 2^64) and (x >> 64−r). Returns a
-    * signed BIGINT (Spark longs compare signed). */
-  private def xxhash64LongSql(inputExpr: String): String = {
+    * signed BIGINT (Spark longs compare signed).
+    *
+    * `seedExpr` (signed BIGINT, default 42) chains multi-argument
+    * xxhash64: Spark computes hash(b, seed = hash(a, 42)) for
+    * xxhash64(a, b) — bind the inner hash in a CTE first (the builder
+    * duplicates sub-expressions, so inlining a full hash as the seed
+    * would explode the SQL). */
+  private def xxhash64LongSql(inputExpr: String, seedExpr: String = "42"): String = {
     val M64 = "18446744073709551616"
     def mulmod(a: String, c: BigInt): String =
       s"(( (($a) % 4294967296) * $c + " +
@@ -540,7 +551,10 @@ object SparkEntry {
     val v = u(s"(${h(inputExpr)} + $M64) % $M64")
     val k1 = rotl(u(mulmod(h(v), P2)), 31)
     val k1m = u(mulmod(h(k1), P1))
-    val acc0 = rotl(s"xor(${u((BigInt(42) + P5 + 8).toString)}, $k1m)", 27)
+    // signed seed → unsigned, then acc = seed + P5 + 8 mod 2^64
+    val seedU = s"((CAST(($seedExpr) AS HUGEINT) + $M64) % $M64)"
+    val acc00 = u(s"(($seedU + ${(P5 + 8).toString}) % $M64)")
+    val acc0 = rotl(s"xor($acc00, $k1m)", 27)
     val acc1 = u(s"(${mulmod(h(acc0), P1)} + $P4) % $M64")
     val acc2 = s"xor($acc1, $acc1 >> 33)"
     val acc3 = u(mulmod(h(acc2), P2))
@@ -552,18 +566,23 @@ object SparkEntry {
   }
 
   /** [[MixOps.weightedMix]] over documents with [[mixWeights]]: the gate is
-    * pmod(xxhash64(doc_id), 10000) on both sides; weights quantized to
-    * 1e-4 so the whole compare is integer. */
+    * pmod(xxhash64(doc_id, PURPOSE_MIX), 10000) on both sides — the inner
+    * key hash is bound in a CTE, the purpose hash chains off it as its
+    * seed; weights quantized to 1e-4 so the whole compare is integer. */
   private def mixWeightedOracle: String = {
-    val gate = s"(((${xxhash64LongSql("doc_id")}) % 10000) + 10000) % 10000"
-    """WITH g AS (
+    val gate =
+      s"(((${xxhash64LongSql(graft.ops.MixOps.PURPOSE_MIX.toString, "h1")}) % 10000) + 10000) % 10000"
+    s"""WITH h1 AS MATERIALIZED (
+         SELECT doc_id, source, ${xxhash64LongSql("doc_id")} AS h1
+         FROM documents),
+       g AS (
          SELECT doc_id, source, """ + gate + """ AS gate,
            CASE WHEN source = 'src19' THEN 0
                 WHEN CAST(substr(source, 4) AS INT) % 4 = 0 THEN 2500
                 WHEN CAST(substr(source, 4) AS INT) % 4 = 1 THEN 10000
                 WHEN CAST(substr(source, 4) AS INT) % 4 = 2 THEN 17000
                 ELSE 25000 END AS wq
-         FROM documents),
+         FROM h1),
        c AS (
          SELECT doc_id, source,
            CAST(wq // 10000
@@ -576,14 +595,18 @@ object SparkEntry {
   }
 
   /** [[MixOps.assignSplit]] with 98/1/1 train/val/test fractions: gate
-    * bucket ranges [0,9800) / [9800,9900) / [9900,10000). */
+    * bucket ranges [0,9800) / [9800,9900) / [9900,10000); the gate chains
+    * xxhash64(doc_id, PURPOSE_SPLIT) exactly as the engine side. */
   private def mixSplitsOracle: String = {
-    val gate = s"(((${xxhash64LongSql("doc_id")}) % 10000) + 10000) % 10000"
-    s"""SELECT doc_id,
+    val gate =
+      s"(((${xxhash64LongSql(graft.ops.MixOps.PURPOSE_SPLIT.toString, "h1")}) % 10000) + 10000) % 10000"
+    s"""WITH h1 AS MATERIALIZED (
+         SELECT doc_id, ${xxhash64LongSql("doc_id")} AS h1 FROM documents)
+       SELECT doc_id,
          CASE WHEN $gate < 9800 THEN 'train'
               WHEN $gate < 9900 THEN 'val'
               ELSE 'test' END AS split
-       FROM documents"""
+       FROM h1"""
   }
 
   /** [[PackOps.packSequences]] over documents (budget 2048): a plain
@@ -849,7 +872,7 @@ object SparkEntry {
     * synthMedia's parameter arithmetic, independent of the JVM codec code
     * being verified. */
   private def mmBaseSql: String =
-    s"""pages AS (SELECT unnest(range(0, 2000)) AS i),
+    s"""pages AS (SELECT unnest(range(0, $MM_PAGES)) AS i),
        urls AS (SELECT i,
          'https://site' || (i % 1000) || '.example/page/' || i AS url
          FROM pages),

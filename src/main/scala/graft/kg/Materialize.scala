@@ -200,18 +200,25 @@ object Materialize {
 
   /** Write-once bucketing sidecar: pins numBuckets for the table's lifetime
     * BEFORE any data is staged, so bucket layout survives even a lost
-    * manifest. Never overwritten (create with overwrite=false; an existing
-    * file wins). */
+    * manifest. Written via temp + rename (a direct create could crash
+    * mid-write and leave an empty `_buckets.json` that the write-once
+    * check would then preserve forever — permanently disabling the very
+    * crash protection the sidecar provides). A VALID existing file wins;
+    * an unreadable one is replaced. */
   private def writeBucketSidecarOnce(outDir: String, numBuckets: Int): Unit = {
     val p = new Path(outDir)
     val hfs = p.getFileSystem(hadoopConf)
     hfs.mkdirs(p)
     val f = new Path(outDir, "_buckets.json")
-    if (!hfs.exists(f)) {
-      val out = hfs.create(f, false)
+    if (readBucketSidecar(outDir).isEmpty) {
+      val tmp = new Path(outDir, "_buckets.json.tmp")
+      val out = hfs.create(tmp, true)
       try out.write(s"""{"numBuckets":$numBuckets}"""
         .getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      if (hfs.exists(f)) hfs.delete(f, false) // corrupt leftover
+      hfs.rename(tmp, f)
+      ()
     }
   }
 

@@ -19,8 +19,20 @@ object MixOps {
   /** Gate resolution: rates/weights are quantized to 1/10000. */
   val BUCKETS = 10000L
 
-  /** Uniform deterministic bucket in [0, BUCKETS) from the row key. */
-  def gate(key: Column): Column = pmod(xxhash64(key), lit(BUCKETS))
+  /** Purpose salts: each decision kind hashes (key, purpose), not the bare
+    * key — otherwise composed decisions on the same key are perfectly
+    * correlated (e.g. a 98% sample followed by a 98/1/1 split would leave
+    * val and test EMPTY, because the dropped 2% and the non-train 2% would
+    * be exactly the same gate range). */
+  val PURPOSE_SAMPLE = 1L
+  val PURPOSE_MIX = 2L
+  val PURPOSE_SPLIT = 3L
+
+  /** Uniform deterministic bucket in [0, BUCKETS) from (row key, purpose):
+    * Spark chains multi-arg xxhash64 as hash(purpose, seed = hash(key, 42)),
+    * so distinct purposes give independent buckets for the same key. */
+  def gate(key: Column, purpose: Long): Column =
+    pmod(xxhash64(key, lit(purpose)), lit(BUCKETS))
 
   private def quantized(m: Map[String, Double]): Column =
     typedLit(m.map { case (k, v) => k -> math.round(v * BUCKETS) })
@@ -30,8 +42,8 @@ object MixOps {
     * column pruning to the scan. */
   def stratifiedSample(df: DataFrame, strata: Column, key: Column,
       rates: Map[String, Double]): DataFrame =
-    df.filter(gate(key) < coalesce(try_element_at(quantized(rates), strata),
-      lit(0L)))
+    df.filter(gate(key, PURPOSE_SAMPLE) <
+      coalesce(try_element_at(quantized(rates), strata), lit(0L)))
 
   /** Deterministic train/val/test split assignment: the gate bucket maps
     * to consecutive ranges sized by `fractions` (in listed order, last
@@ -42,7 +54,7 @@ object MixOps {
   def assignSplit(key: Column, fractions: Seq[(String, Double)]): Column = {
     require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must sum to 1, got $fractions")
-    val g = gate(key)
+    val g = gate(key, PURPOSE_SPLIT)
     val bounds = fractions.map(_._2).scanLeft(0L) {
       (acc, f) => acc + math.round(f * BUCKETS)
     }.tail
@@ -64,7 +76,7 @@ object MixOps {
     val frac = pmod(wq, lit(BUCKETS))
     val full = (wq - frac) / lit(BUCKETS) // exact: numerator is a multiple
     val copies = full.cast("long") +
-      when(gate(key) < frac, lit(1L)).otherwise(lit(0L))
+      when(gate(key, PURPOSE_MIX) < frac, lit(1L)).otherwise(lit(0L))
     df.withColumn("__n_copies", copies)
       .filter(col("__n_copies") > 0)
       .withColumn(copyCol, explode(sequence(lit(0L), col("__n_copies") - 1)))

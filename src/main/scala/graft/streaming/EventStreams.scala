@@ -159,8 +159,12 @@ object EventStreams {
                       t > c.tsMs || (t == c.tsMs && e.event_id > c.id)))
                     latest = Some(LatestClick(t, e.event_id))
                 case "purchase" =>
+                  // backward-INCLUSIVE guard: a late-arriving purchase must
+                  // not match a click from its future (state can hold a
+                  // click newer than an out-of-order purchase)
+                  val eligible = latest.filter(_.tsMs <= t)
                   out += AsofEnriched(e.event_id, userId, e.ts,
-                    latest.map(_.id), latest.map(c => t - c.tsMs))
+                    eligible.map(_.id), eligible.map(c => t - c.tsMs))
                 case _ => ()
               }
             }

@@ -142,7 +142,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val df = (0L until 1000L).toDF("id")
     val got = df.select($"id", MixOps.assignSplit($"id", fr).as("s"),
-      MixOps.gate($"id").as("g")).as[(Long, String, Long)].collect()
+      MixOps.gate($"id", MixOps.PURPOSE_SPLIT).as("g")).as[(Long, String, Long)].collect()
     got.foreach { case (_, s, g) =>
       val expected = if (g < 8000) "train" else if (g < 9000) "val" else "test"
       assert(s == expected)

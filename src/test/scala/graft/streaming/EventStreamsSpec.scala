@@ -152,11 +152,17 @@ class EventStreamsSpec extends AnyFunSuite {
         Event(102, ts(10), 1, "purchase", 9.0), // -> click 101 (latest)
         Event(200, ts(10), 2, "purchase", 5.0)) // -> no click: None
       query.processAllAvailable()
-      // batch 2: state carries user 1's latest click; a newer click wins
+      // batch 2: state carries user 1's latest click; a newer click wins;
+      // a LATE purchase older than the stored click must NOT match it
       input.addData(
         Event(103, ts(20), 1, "purchase", 1.0), // -> still click 101
         Event(104, ts(30), 1, "click", 0.0),
-        Event(105, ts(31), 1, "purchase", 1.0)) // -> click 104
+        Event(105, ts(31), 1, "purchase", 1.0), // -> click 104
+        Event(300, ts(2), 2, "click", 0.0))
+      query.processAllAvailable()
+      // batch 3: user 2's purchase at ts(1) is OLDER than the stored click
+      // at ts(2) -> no match (backward-inclusive, never forward)
+      input.addData(Event(301, ts(1), 2, "purchase", 1.0))
       query.processAllAvailable()
       val rows = spark.sql("SELECT event_id, click_id, gap_ms FROM sa").collect()
         .map(r => (r.getLong(0),
@@ -166,7 +172,8 @@ class EventStreamsSpec extends AnyFunSuite {
         (102L, 101L, 5 * 60000L),
         (200L, -1L, -1L),
         (103L, 101L, 15 * 60000L),
-        (105L, 104L, 1 * 60000L)))
+        (105L, 104L, 1 * 60000L),
+        (301L, -1L, -1L)))
     } finally query.stop()
   }
 }
