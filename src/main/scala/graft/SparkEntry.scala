@@ -526,63 +526,81 @@ object SparkEntry {
     * acc = seed + P5 + 8; k1 = rotl31(v·P2)·P1; acc = rotl27(acc⊕k1)·P1 +
     * P4; then the 33/29/32 avalanche. Wrapping 64-bit multiplies use the
     * same HUGEINT split-multiplication as [[splitmixSql]]; rotations are
-    * disjoint-bit adds of (x·2^r mod 2^64) and (x >> 64−r). Returns a
-    * signed BIGINT (Spark longs compare signed).
+    * disjoint-bit adds of (x·2^r mod 2^64) and (x >> 64−r).
     *
-    * `seedExpr` (signed BIGINT, default 42) chains multi-argument
-    * xxhash64: Spark computes hash(b, seed = hash(a, 42)) for
-    * xxhash64(a, b) — bind the inner hash in a CTE first (the builder
-    * duplicates sub-expressions, so inlining a full hash as the seed
-    * would explode the SQL). */
-  private def xxhash64LongSql(inputExpr: String, seedExpr: String = "42"): String = {
+    * Emitted as a chain of NESTED SUBQUERIES — every intermediate binds to
+    * a column referenced by name by the next stage, so the SQL is LINEAR
+    * in the number of stages (~2 KB). A pure expression tree was measured
+    * at 0.8 MB per hash invocation: each `mulmod`/rotation references its
+    * operand twice, doubling the text at every one of ~8 stages.
+    *
+    * Returns (fromClause, outCol): select `outCol` (a signed BIGINT —
+    * Spark longs compare signed) from `fromClause`, which nests `base`.
+    * `seedCol` chains multi-argument xxhash64 (Spark computes
+    * hash(b, seed = hash(a, 42)) for xxhash64(a, b)). */
+  private def xxhash64LongStages(base: String, inputExpr: String,
+      out: String, seedCol: String = "42"): (String, String) = {
     val M64 = "18446744073709551616"
     def mulmod(a: String, c: BigInt): String =
-      s"(( (($a) % 4294967296) * $c + " +
-        s"((( ($a) // 4294967296) * $c) % 4294967296) * 4294967296 ) % $M64)"
+      s"(( ((CAST($a AS HUGEINT)) % 4294967296) * $c + " +
+        s"((( (CAST($a AS HUGEINT)) // 4294967296) * $c) % 4294967296) * 4294967296 ) % $M64)"
     def u(e: String) = s"CAST($e AS UBIGINT)"
-    def h(e: String) = s"CAST($e AS HUGEINT)"
     def rotl(x: String, r: Int): String =
-      u(s"(CAST((${h(x)} * ${BigInt(1) << r}) % $M64 AS UBIGINT) + ($x >> ${64 - r}))")
+      u(s"(CAST((CAST($x AS HUGEINT) * ${BigInt(1) << r}) % $M64 AS UBIGINT) + ($x >> ${64 - r}))")
     val P1 = BigInt("9E3779B185EBCA87", 16)
     val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
     val P3 = BigInt("165667B19E3779F9", 16)
     val P4 = BigInt("85EBCA77C2B2AE63", 16)
     val P5 = BigInt("27D4EB2F165667C5", 16)
-    val v = u(s"(${h(inputExpr)} + $M64) % $M64")
-    val k1 = rotl(u(mulmod(h(v), P2)), 31)
-    val k1m = u(mulmod(h(k1), P1))
-    // signed seed → unsigned, then acc = seed + P5 + 8 mod 2^64
-    val seedU = s"((CAST(($seedExpr) AS HUGEINT) + $M64) % $M64)"
-    val acc00 = u(s"(($seedU + ${(P5 + 8).toString}) % $M64)")
-    val acc0 = rotl(s"xor($acc00, $k1m)", 27)
-    val acc1 = u(s"(${mulmod(h(acc0), P1)} + $P4) % $M64")
-    val acc2 = s"xor($acc1, $acc1 >> 33)"
-    val acc3 = u(mulmod(h(acc2), P2))
-    val acc4 = s"xor($acc3, $acc3 >> 29)"
-    val acc5 = u(mulmod(h(acc4), P3))
-    val acc6 = s"xor($acc5, $acc5 >> 32)"
-    s"CAST(CASE WHEN $acc6 >= 9223372036854775808 THEN ${h(acc6)} - $M64 " +
-      s"ELSE ${h(acc6)} END AS BIGINT)"
+    val o = out
+    val stages: Seq[(String, String)] = Seq(
+      s"${o}_v" -> u(s"(CAST(($inputExpr) AS HUGEINT) + $M64) % $M64"),
+      s"${o}_k1" -> rotl(u(mulmod(s"${o}_v", P2)), 31),
+      s"${o}_km" -> u(mulmod(s"${o}_k1", P1)),
+      // signed seed → unsigned, acc = seed + P5 + 8 mod 2^64
+      s"${o}_s" -> u(s"((((CAST(($seedCol) AS HUGEINT) + $M64) % $M64) + ${(P5 + 8).toString}) % $M64)"),
+      s"${o}_a0" -> rotl(s"xor(${o}_s, ${o}_km)", 27),
+      s"${o}_a1" -> u(s"(${mulmod(s"${o}_a0", P1)} + $P4) % $M64"),
+      s"${o}_a2" -> u(mulmod(s"xor(${o}_a1, ${o}_a1 >> 33)", P2)),
+      s"${o}_a3" -> u(mulmod(s"xor(${o}_a2, ${o}_a2 >> 29)", P3)),
+      s"${o}_a4" -> s"xor(${o}_a3, ${o}_a3 >> 32)",
+      o -> (s"CAST(CASE WHEN ${o}_a4 >= 9223372036854775808 " +
+        s"THEN CAST(${o}_a4 AS HUGEINT) - $M64 " +
+        s"ELSE CAST(${o}_a4 AS HUGEINT) END AS BIGINT)"))
+    val from = stages.foldLeft(base) { case (inner, (col, expr)) =>
+      s"(SELECT *, $expr AS $col FROM $inner)"
+    }
+    (from, o)
+  }
+
+  /** The staged xxhash64(doc_id, purpose) gate over documents: nested
+    * subqueries computing h1 = xxh64(doc_id, 42) then the purpose hash
+    * with seed h1 (exactly Spark's multi-arg chaining), projected to
+    * (doc_id, source, gate). */
+  private def mixGateFrom(purpose: Long): String = {
+    val (f1, h1) = xxhash64LongStages("documents", "doc_id", "h1")
+    val (f2, h2) = xxhash64LongStages(f1, purpose.toString, "h2", seedCol = h1)
+    s"""(SELECT doc_id, source, ((($h2) % 10000) + 10000) % 10000 AS gate
+        FROM $f2)"""
   }
 
   /** [[MixOps.weightedMix]] over documents with [[mixWeights]]: the gate is
-    * pmod(xxhash64(doc_id, PURPOSE_MIX), 10000) on both sides — the inner
-    * key hash is bound in a CTE, the purpose hash chains off it as its
-    * seed; weights quantized to 1e-4 so the whole compare is integer. */
-  private def mixWeightedOracle: String = {
-    val gate =
-      s"(((${xxhash64LongSql(graft.ops.MixOps.PURPOSE_MIX.toString, "h1")}) % 10000) + 10000) % 10000"
-    s"""WITH h1 AS MATERIALIZED (
-         SELECT doc_id, source, ${xxhash64LongSql("doc_id")} AS h1
-         FROM documents),
+    * pmod(xxhash64(doc_id, PURPOSE_MIX), 10000) on both sides; weights
+    * quantized to 1e-4 so the whole compare is integer. */
+  private def mixWeightedOracle: String =
+    // MATERIALIZED: a plain CTE gets inlined and DuckDB's subquery
+    // flattening then re-substitutes the staged gate expressions into
+    // every downstream reference — planner blow-up (measured: hang)
+    s"""WITH gates AS MATERIALIZED (
+         SELECT * FROM ${mixGateFrom(graft.ops.MixOps.PURPOSE_MIX)} gsub),
        g AS (
-         SELECT doc_id, source, """ + gate + """ AS gate,
+         SELECT doc_id, source, gate,
            CASE WHEN source = 'src19' THEN 0
                 WHEN CAST(substr(source, 4) AS INT) % 4 = 0 THEN 2500
                 WHEN CAST(substr(source, 4) AS INT) % 4 = 1 THEN 10000
                 WHEN CAST(substr(source, 4) AS INT) % 4 = 2 THEN 17000
                 ELSE 25000 END AS wq
-         FROM h1),
+         FROM gates),
        c AS (
          SELECT doc_id, source,
            CAST(wq // 10000
@@ -592,22 +610,18 @@ object SparkEntry {
        SELECT doc_id, source,
          CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS "copy"
        FROM c WHERE n > 0"""
-  }
 
   /** [[MixOps.assignSplit]] with 98/1/1 train/val/test fractions: gate
     * bucket ranges [0,9800) / [9800,9900) / [9900,10000); the gate chains
     * xxhash64(doc_id, PURPOSE_SPLIT) exactly as the engine side. */
-  private def mixSplitsOracle: String = {
-    val gate =
-      s"(((${xxhash64LongSql(graft.ops.MixOps.PURPOSE_SPLIT.toString, "h1")}) % 10000) + 10000) % 10000"
-    s"""WITH h1 AS MATERIALIZED (
-         SELECT doc_id, ${xxhash64LongSql("doc_id")} AS h1 FROM documents)
+  private def mixSplitsOracle: String =
+    s"""WITH gates AS MATERIALIZED (
+         SELECT * FROM ${mixGateFrom(graft.ops.MixOps.PURPOSE_SPLIT)} gsub)
        SELECT doc_id,
-         CASE WHEN $gate < 9800 THEN 'train'
-              WHEN $gate < 9900 THEN 'val'
+         CASE WHEN gate < 9800 THEN 'train'
+              WHEN gate < 9900 THEN 'val'
               ELSE 'test' END AS split
-       FROM h1"""
-  }
+       FROM gates"""
 
   /** [[PackOps.packSequences]] over documents (budget 2048): a plain
     * window cumsum in id order — the oracle can afford the single-partition
