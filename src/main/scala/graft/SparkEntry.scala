@@ -83,7 +83,11 @@ object SparkEntry {
             text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
       }
+      // project the file column to its basename: the oracle is a static
+      // reference-anchored VALUES relation and must not depend on where the
+      // corpus was materialized (tmpdir, scheme prefix)
       s.read.format("turtle").load(dir.toString)
+        .withColumn("file", substring_index(col("file"), "/", -1))
     }),
     "kg_errors" -> ((s, d) =>
       // stable aggregate: error-class histogram (classes are the fixed
@@ -989,7 +993,23 @@ object SparkEntry {
        FROM frames fr, LATERAL (SELECT unnest(range(0, fr.frame_data)) AS j) j
        GROUP BY fr.media_id, fr.f, fr.w, fr.h"""
 
-  def oracleSql: Map[String, String] = Map(
+  /** Static reference-anchored oracle (generated by KgOracleGen, verified
+    * against the compiled reference binary — see its scaladoc for the
+    * anchoring chain). Loaded from the jar so the multi-MB VALUES relations
+    * don't live in source. */
+  private def staticOracle(name: String): String = {
+    val is = getClass.getResourceAsStream(s"/graft/oracles/$name.sql")
+    require(is != null, s"missing static oracle resource $name")
+    try new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally is.close()
+  }
+
+  private val KG_STATIC_ORACLES = Seq("kg_pred_counts", "kg_errors",
+    "kg_roundtrip", "kg_canonical", "kg_triples", "kg_triples_sql",
+    "kg_turtle_source", "kg_link", "kg_entity_mentions")
+
+  def oracleSql: Map[String, String] =
+    KG_STATIC_ORACLES.map(n => n -> staticOracle(n)).toMap ++ Map(
     // SRP-LSH / IVF ANN verified end-to-end in SQL (hyperplanes + fixed-
     // point Lloyd's re-derived from the same splitmix64 arithmetic; see
     // annLshOracle/annIvfOracle scaladocs for the bit-equality argument)

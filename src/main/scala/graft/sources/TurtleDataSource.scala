@@ -26,6 +26,12 @@ import graft.turtle.TripleProducer.{TIri, TBnode, TLit}
   * unit (the grammar's prefix/base directives are document-scoped, so a file
   * cannot be split). For corpora of many files this parallelizes across the
   * cluster like any file source.
+  *
+  * Memory bound: because a file cannot be split, a multi-GB .ttl would
+  * otherwise become one executor's whole heap. Files larger than the
+  * `maxBytes` option (default [[TurtleDataSource.DEFAULT_MAX_BYTES]]) yield a
+  * single `FileTooLarge: …` error row instead — error-as-data, the same
+  * contract as parse failures (no task failure, no OOM kill).
   */
 class TurtleDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "turtle"
@@ -34,9 +40,14 @@ class TurtleDataSource extends TableProvider with DataSourceRegister {
     TurtleDataSource.SCHEMA
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new TurtleTable(properties.asScala.getOrElse("path",
-      throw new IllegalArgumentException("turtle source requires a path")))
+      properties: JMap[String, String]): Table = {
+    val opts = properties.asScala
+    new TurtleTable(
+      opts.getOrElse("path",
+        throw new IllegalArgumentException("turtle source requires a path")),
+      opts.get("maxbytes").orElse(opts.get("maxBytes")).map(_.toLong)
+        .getOrElse(TurtleDataSource.DEFAULT_MAX_BYTES))
+  }
 }
 
 object TurtleDataSource {
@@ -73,63 +84,29 @@ object TurtleDataSource {
       out.result().sorted
     }
   }
-}
 
-private class TurtleTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"turtle($path)"
-  override def schema(): StructType = TurtleDataSource.SCHEMA
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TurtleScanBuilder(path)
-}
+  /** Default per-file size gate (bytes). 64 MiB of Turtle is already ~10^6
+    * statements in one indivisible parse unit; anything larger is almost
+    * certainly a concatenated dump that should be split upstream. */
+  val DEFAULT_MAX_BYTES: Long = 64L * 1024 * 1024
 
-private class TurtleScanBuilder(path: String) extends ScanBuilder {
-  override def build(): Scan = new TurtleScan(path)
-}
-
-private class TurtleScan(path: String) extends Scan with Batch {
-  override def readSchema(): StructType = TurtleDataSource.SCHEMA
-  override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    TurtleDataSource.listTtlFiles(path)
-      .map(f => TurtleFilePartition(f): InputPartition).toArray
-  override def createReaderFactory(): PartitionReaderFactory =
-    new TurtleReaderFactory
-}
-
-private case class TurtleFilePartition(file: String) extends InputPartition
-
-private class TurtleReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new TurtleFileReader(partition.asInstanceOf[TurtleFilePartition].file)
-}
-
-private class TurtleFileReader(file: String) extends PartitionReader[InternalRow] {
-  private def u(s: String): UTF8String =
-    if (s == null) null else UTF8String.fromString(s)
-
-  private val rows: Iterator[InternalRow] = {
-    // executor-side read through the Hadoop FS API (new Configuration picks
-    // up the cluster's core-site/hdfs-site from the classpath)
-    val path = new org.apache.hadoop.fs.Path(file)
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val text = {
-      val in = fs.open(path)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](64 * 1024)
-        var nRead = in.read(tmp)
-        while (nRead >= 0) { buf.write(tmp, 0, nRead); nRead = in.read(tmp) }
-        new String(buf.toByteArray, StandardCharsets.UTF_8)
-      } finally in.close()
-    }
-    val fileHash = graft.kg.PagesSource.fnv64(file)
+  /** Pure per-document row set — shared by the partition reader, the oracle
+    * generator, and tests. Returns 9-slot arrays matching [[SCHEMA]]
+    * (`file, subj, subj_kind, pred, obj_kind, obj_value, obj_datatype,
+    * obj_lang, error`).
+    *
+    * Blank-node labels are `_:h<hex(fnv64(document text))>_<allocation id>`:
+    * hashing the CONTENT (not the path) keeps labels location-independent
+    * (the same document yields the same labels wherever it is stored —
+    * re-reads after a move/copy stay joinable) while remaining globally
+    * unique per distinct document; provenance stays in the `file` column.
+    */
+  def rowsForDocument(file: String, text: String): Iterator[Array[String]] = {
+    val contentHash = graft.kg.PagesSource.fnv64(text)
     def bn(id: Int): String =
-      "_:h" + java.lang.Long.toHexString(fileHash) + "_" + id
-    def errRow(msg: String): InternalRow =
-      new GenericInternalRow(Array[Any](u(file), null, null, null, null, null,
-        null, null, u(msg)))
+      "_:h" + java.lang.Long.toHexString(contentHash) + "_" + id
+    def errRow(msg: String): Array[String] =
+      Array(file, null, null, null, null, null, null, null, msg)
     TurtleParser.parseFull(text) match {
       case Left(TurtleParser.NotFullyParsed(rest)) =>
         Iterator.single(errRow("NotFullyParsed: " + rest.take(64)))
@@ -149,10 +126,76 @@ private class TurtleFileReader(file: String) extends PartitionReader[InternalRow
                 case TBnode(id)    => ("bnode", bn(id), null, null)
                 case TLit(l, d, g) => ("literal", l, d.orNull, g.orNull)
               }
-              new GenericInternalRow(Array[Any](u(file), u(s), u(sk),
-                u(tr.pred), u(ok), u(ov), u(od), u(ol), null))
+              Array(file, s, sk, tr.pred, ok, ov, od, ol, null)
             }
         }
+    }
+  }
+}
+
+private class TurtleTable(path: String, maxBytes: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"turtle($path)"
+  override def schema(): StructType = TurtleDataSource.SCHEMA
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TurtleScanBuilder(path, maxBytes)
+}
+
+private class TurtleScanBuilder(path: String, maxBytes: Long) extends ScanBuilder {
+  override def build(): Scan = new TurtleScan(path, maxBytes)
+}
+
+private class TurtleScan(path: String, maxBytes: Long) extends Scan with Batch {
+  override def readSchema(): StructType = TurtleDataSource.SCHEMA
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    TurtleDataSource.listTtlFiles(path)
+      .map(f => TurtleFilePartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TurtleReaderFactory(maxBytes)
+}
+
+private case class TurtleFilePartition(file: String) extends InputPartition
+
+private class TurtleReaderFactory(maxBytes: Long) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TurtleFileReader(partition.asInstanceOf[TurtleFilePartition].file, maxBytes)
+}
+
+private class TurtleFileReader(file: String, maxBytes: Long)
+    extends PartitionReader[InternalRow] {
+  private def u(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  private def toInternal(r: Array[String]): InternalRow =
+    new GenericInternalRow(r.map(u(_): Any))
+
+  private val rows: Iterator[InternalRow] = {
+    // executor-side read through the Hadoop FS API (new Configuration picks
+    // up the cluster's core-site/hdfs-site from the classpath)
+    val path = new org.apache.hadoop.fs.Path(file)
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val size = fs.getFileStatus(path).getLen
+    if (size > maxBytes) {
+      // size gate BEFORE the read: an unsplittable oversized document must
+      // not be slurped into one executor's heap. Error-as-data, like every
+      // other malformed input in this source.
+      Iterator.single(toInternal(Array(file, null, null, null, null, null,
+        null, null, s"FileTooLarge: $size bytes > maxBytes=$maxBytes")))
+    } else {
+      val text = {
+        val in = fs.open(path)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](64 * 1024)
+          var nRead = in.read(tmp)
+          while (nRead >= 0) { buf.write(tmp, 0, nRead); nRead = in.read(tmp) }
+          new String(buf.toByteArray, StandardCharsets.UTF_8)
+        } finally in.close()
+      }
+      TurtleDataSource.rowsForDocument(file, text).map(toInternal)
     }
   }
 
@@ -162,3 +205,4 @@ private class TurtleFileReader(file: String) extends PartitionReader[InternalRow
   override def get(): InternalRow = current
   override def close(): Unit = ()
 }
+

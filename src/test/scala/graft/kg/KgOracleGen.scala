@@ -1,0 +1,419 @@
+package graft.kg
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Static, reference-anchored DuckDB oracles for the kg_* driver queries
+  * (round-4 verdict ask #1: flip the `no_oracle` rows to hard-signal green).
+  *
+  * The kg_* queries are deterministic pure functions of the fixed synthetic
+  * corpus (PagesSource at the sf0.01 page count), so their expected outputs
+  * can be generated ONCE, cross-checked against the COMPILED REFERENCE
+  * BINARY (tools/refgen — harriet's own parser/producer running unmodified),
+  * and frozen as `SELECT … FROM (VALUES …)` oracles that need no Turtle
+  * parsing in DuckDB at all.
+  *
+  * Anchoring chain, per block of every sf0.01 page (5,000 pages):
+  *   1. `dump` writes every extracted block (and every page-level
+  *      concatenated text, for the `parse_turtle_triples` SQL path) as a
+  *      .ttl doc in the refgen layout.
+  *   2. the reference binary (`target/refgen/release/refgen`) parses +
+  *      produces them all.
+  *   3. `emit` recomputes the same outcomes through the Scala pipeline's
+  *      pure per-page path and REQUIRES: identical outcome classification,
+  *      identical round-trip flags, and byte-identical canonical triple
+  *      lines (bnode-isomorphic relabeling, first-occurrence dedup of the
+  *      reference's duplicates) — any divergence aborts the emit.
+  *   4. only then are the VALUES oracles written to
+  *      src/main/resources/graft/oracles/<name>.sql.
+  *
+  * What each oracle is anchored to:
+  *   - kg_pred_counts: aggregated from the REFERENCE's triple lines.
+  *   - kg_errors / kg_roundtrip: reference outcome / rt-flag parity.
+  *   - kg_canonical: sameAs edges taken from the REFERENCE's triples,
+  *     components via union-find (independent of the Spark CC code path).
+  *   - kg_triples / kg_triples_sql: graft's exact rows, gated by the
+  *     per-block byte-identity assertions above.
+  *   - kg_turtle_source: fixture-corpus rows vs the frozen refgen TSVs.
+  *   - kg_link / kg_entity_mentions: linking has no reference counterpart
+  *     (harriet is a grammar, not a linker) — the mention SET is anchored
+  *     to the reference's triples; the link decisions are a frozen snapshot
+  *     of semantics proven local≡distributed in EntityLinkingSpec.
+  *
+  * Usage:
+  * {{{
+  *   sbt "Test/runMain graft.kg.KgOracleGen dump /tmp/kgoracle"
+  *   target/refgen/release/refgen /tmp/kgoracle/docs /tmp/kgoracle/ref_out
+  *   sbt "Test/runMain graft.kg.KgOracleGen emit /tmp/kgoracle"
+  * }}}
+  */
+object KgOracleGen {
+
+  val PAGES = 5000L // sf0.01 (PagesSource.countForSfDir)
+
+  // ------------------------------------------------------------- SQL emit
+
+  def sqlStr(s: String): String =
+    if (s == null) "NULL" else "'" + s.replace("'", "''") + "'"
+
+  /** `SELECT <casted cols> FROM (VALUES …) AS t(<cols>)` — every column is
+    * cast explicitly so all-NULL columns still type as VARCHAR and counts
+    * type as BIGINT (Spark writes longs; DuckDB would infer INT32). */
+  def valuesSql(cols: Seq[(String, String)], rows: Seq[Seq[String]]): String = {
+    val sel = cols.map { case (n, t) => s"CAST($n AS $t) AS $n" }.mkString(", ")
+    val names = cols.map(_._1).mkString(", ")
+    rows.map(_.mkString("(", ",", ")"))
+      .mkString(s"SELECT $sel FROM (VALUES\n", ",\n", s"\n) AS t($names)")
+  }
+
+  // --------------------------------------------------------------- layout
+
+  def blockDocName(i: Long, bi: Int): String = f"p$i%05d_b$bi.ttl"
+  def pageDocName(i: Long): String = f"p$i%05d_full.ttl"
+
+  // --------------------------------------------------------------- dump
+
+  def dump(workDir: Path): Unit = {
+    val docs = workDir.resolve("docs/reference_examples")
+    Files.createDirectories(docs)
+    Files.createDirectories(workDir.resolve("docs/wildtype_examples"))
+    var nBlocks = 0L
+    var nPages = 0L
+    for (i <- 0L until PAGES) {
+      val blocks = PagesSource.payloads(i)
+      blocks.zipWithIndex.foreach { case (b, bi) =>
+        Files.write(docs.resolve(blockDocName(i, bi)),
+          b.getBytes(StandardCharsets.UTF_8))
+        nBlocks += 1
+      }
+      val text = blocks.mkString
+      if (text.nonEmpty) {
+        Files.write(docs.resolve(pageDocName(i)),
+          text.getBytes(StandardCharsets.UTF_8))
+        nPages += 1
+      }
+    }
+    println(s"dumped $nBlocks block docs + $nPages page docs to $docs")
+  }
+
+  // --------------------------------------------------------------- emit
+
+  /** One parsed row of refgen's status.tsv. */
+  final case class RefStatus(outcome: String, rt: String, count: Int, kind: String)
+
+  def readRefStatus(workDir: Path): Map[String, RefStatus] =
+    Files.readAllLines(workDir.resolve("ref_out/status.tsv")).asScala.map { l =>
+      val f = l.split("\t", -1)
+      // refgen writes the error kind as Rust {:?} → strip the quotes
+      f(0).stripPrefix("reference_examples/") ->
+        RefStatus(f(1), f(2), f(3).toInt, f(4).stripPrefix("\"").stripSuffix("\""))
+    }.toMap
+
+  def readRefLines(workDir: Path, doc: String): Vector[String] = {
+    val p = workDir.resolve(s"ref_out/reference_examples_$doc.tsv")
+    val raw = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val trimmed = raw.stripSuffix("\n")
+    if (trimmed.isEmpty) Vector.empty
+    else {
+      // first-occurrence dedup: the reference emits duplicate triples, the
+      // pipeline dedups per document (documented deviation; dedup never
+      // removes a bnode's first appearance so canonical labels are stable)
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      trimmed.split("\n", -1).foreach(seen += _)
+      seen.toVector
+    }
+  }
+
+  /** graft error string → refgen outcome + kind. */
+  def classify(error: String): (String, String) =
+    if (error == null) ("produced", "-")
+    else if (error.startsWith("NotFullyParsed")) ("parse_err", "not_fully_parsed")
+    else if (error.startsWith("ProduceError")) ("refused", "-")
+    else ("parse_err", "parse_error")
+
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val workDir = Paths.get(if (args.length > 1) args(1) else "/tmp/kgoracle")
+    mode match {
+      case "dump" => dump(workDir)
+      case "emit" => emit(workDir)
+      case other  => sys.error(s"unknown mode $other (dump|emit)")
+    }
+  }
+
+  /** The per-block/per-page pass over the whole synthetic corpus. Always
+    * accumulates the graft-derived oracle SQLs; when `refWorkDir` is given,
+    * additionally asserts full parity with the reference binary's outputs
+    * and derives kg_pred_counts / kg_canonical from the REFERENCE's triples
+    * (then requires both derivations byte-identical).
+    *
+    * Returns (oracle SQL by name, number of parity assertions run). */
+  def blockPass(refWorkDir: Option[Path]): (Map[String, String], Long) = {
+    val ref = refWorkDir.map(readRefStatus)
+    var asserts = 0L
+
+    val predCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    val refPredCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    val errCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    val edges = Vector.newBuilder[(String, String)]
+    val refEdges = Vector.newBuilder[(String, String)]
+    var blocks, parsed, identical = 0L
+    val tripleRows = Vector.newBuilder[Seq[String]] // kg_triples VALUES rows
+    val sqlRows = Vector.newBuilder[Seq[String]] // kg_triples_sql VALUES rows
+
+    val SAME_AS_PRED = s"<${PagesSource.SAME_AS}>"
+    for (i <- 0L until PAGES) {
+      val page = PagesSource.genPage(i)
+      val pageBlocks = Extract.extractBlocks(page.html)
+      val rows = TripleExtraction.triplesForPage(page).toVector
+      val byBlock = rows.groupBy(_.block)
+      val rts = TripleExtraction.roundTripForPage(page)
+
+      pageBlocks.indices.foreach { bi =>
+        val doc = blockDocName(i, bi)
+        val blockRows = byBlock.getOrElse(bi, Vector.empty)
+        blocks += 1
+        if (rts(bi).parsed) parsed += 1
+        if (rts(bi).byte_identical) identical += 1
+
+        val (gOutcome, gKind) =
+          if (blockRows.isEmpty) ("produced", "-")
+          else classify(blockRows.head.error)
+
+        // graft-derived aggregates
+        blockRows.foreach { r =>
+          if (r.error == null) {
+            predCounts(r.pred) = predCounts.getOrElse(r.pred, 0L) + 1
+            if (r.pred == PagesSource.SAME_AS && r.subj_kind == "iri" &&
+                r.obj_kind == "iri")
+              edges += ((r.subj, r.obj_value))
+          } else {
+            val cls = r.error.split(":", 2)(0)
+            errCounts(cls) = errCounts.getOrElse(cls, 0L) + 1
+          }
+          tripleRows += Seq(sqlStr(r.url), r.block.toString, sqlStr(r.subj),
+            sqlStr(r.subj_kind), sqlStr(r.pred), sqlStr(r.obj_kind),
+            sqlStr(r.obj_value), sqlStr(r.obj_datatype), sqlStr(r.obj_lang),
+            sqlStr(r.error))
+        }
+
+        // reference parity (outcome, error kind, rt flag, triple bytes)
+        ref.foreach { refMap =>
+          val rs = refMap.getOrElse(doc, sys.error(s"refgen has no status for $doc"))
+          require(gOutcome == rs.outcome && (gOutcome != "parse_err" || gKind == rs.kind),
+            s"outcome diverged on $doc: graft=($gOutcome,$gKind) ref=(${rs.outcome},${rs.kind})")
+          val gRt = if (!rts(bi).parsed) "-"
+            else if (rts(bi).byte_identical) "rt_ok" else "RT_FAIL"
+          require(gRt == rs.rt, s"roundtrip flag diverged on $doc: graft=$gRt ref=${rs.rt}")
+          asserts += 2
+          if (gOutcome == "produced") {
+            val refLines = readRefLines(refWorkDir.get, doc)
+            val canon = new PageCrossCheckGen.Canon
+            val gLines = blockRows.filter(_.error == null).map(canon.line)
+            require(gLines == refLines,
+              s"triples diverged on $doc:\n graft=${gLines.take(3)}\n ref=${refLines.take(3)}")
+            asserts += 1
+            refLines.foreach { l =>
+              val f = l.split("\t")
+              val pred = f(1).stripPrefix("<").stripSuffix(">")
+              refPredCounts(pred) = refPredCounts.getOrElse(pred, 0L) + 1
+              if (f(1) == SAME_AS_PRED && f(0).startsWith("<") && f(2).startsWith("<"))
+                refEdges += ((f(0).stripPrefix("<").stripSuffix(">"),
+                  f(2).stripPrefix("<").stripSuffix(">")))
+            }
+          }
+        }
+      }
+
+      // ---- page-level (parse_turtle_triples SQL path): one doc per page --
+      val text = pageBlocks.mkString
+      if (text.nonEmpty) {
+        val doc = pageDocName(i)
+        val sqlPageRows = sqlPathRows(page.url, text)
+        sqlPageRows.foreach { r =>
+          // LATERAL VIEW (non-OUTER) drops zero-output pages; error rows
+          // survive as one row with null triple columns
+          sqlRows += Seq(sqlStr(r.url), sqlStr(r.subj), sqlStr(r.subj_kind),
+            sqlStr(r.pred), sqlStr(r.obj_kind), sqlStr(r.obj_value),
+            sqlStr(r.obj_datatype), sqlStr(r.obj_lang), sqlStr(r.error))
+        }
+        ref.foreach { refMap =>
+          val rs = refMap.getOrElse(doc, sys.error(s"refgen has no status for $doc"))
+          val (gOutcome, gKind) =
+            if (sqlPageRows.isEmpty) ("produced", "-")
+            else classify(sqlPageRows.head.error)
+          require(gOutcome == rs.outcome && (gOutcome != "parse_err" || gKind == rs.kind),
+            s"page-doc outcome diverged on $doc: graft=($gOutcome,$gKind) ref=(${rs.outcome},${rs.kind})")
+          asserts += 1
+          if (gOutcome == "produced") {
+            val refLines = readRefLines(refWorkDir.get, doc)
+            val canon = new PageCrossCheckGen.Canon
+            val gLines = sqlPageRows.filter(_.error == null).map(canon.line)
+            require(gLines == refLines, s"page-doc triples diverged on $doc")
+            asserts += 1
+          }
+        }
+      }
+    }
+
+    // when anchored: the graft-derived and reference-derived aggregates
+    // must agree exactly (pred counts and the sameAs edge set)
+    ref.foreach { _ =>
+      require(predCounts == refPredCounts, "pred counts: graft != reference")
+      require(edges.result().distinct.sorted == refEdges.result().distinct.sorted,
+        "sameAs edge sets: graft != reference")
+      asserts += 2
+    }
+
+    // components via union-find over the sameAs edges (when anchored, the
+    // edge set is proven identical to the reference's above) — independent
+    // of the Spark CC implementation under test
+    val canonical = Canonicalize.localUnionFind(edges.result().distinct.toArray)
+
+    val tripleCols = Seq("url" -> "VARCHAR", "block" -> "INTEGER",
+      "subj" -> "VARCHAR", "subj_kind" -> "VARCHAR", "pred" -> "VARCHAR",
+      "obj_kind" -> "VARCHAR", "obj_value" -> "VARCHAR",
+      "obj_datatype" -> "VARCHAR", "obj_lang" -> "VARCHAR", "error" -> "VARCHAR")
+
+    val sqls = Map(
+      "kg_pred_counts" -> valuesSql(
+        Seq("pred" -> "VARCHAR", "n" -> "BIGINT"),
+        predCounts.toSeq.sortBy(_._1).map { case (p, n) => Seq(sqlStr(p), n.toString) }),
+      "kg_errors" -> valuesSql(
+        Seq("error_class" -> "VARCHAR", "n" -> "BIGINT"),
+        errCounts.toSeq.sortBy(_._1).map { case (c, n) => Seq(sqlStr(c), n.toString) }),
+      "kg_roundtrip" -> valuesSql(
+        Seq("blocks" -> "BIGINT", "parsed" -> "BIGINT",
+          "identical" -> "BIGINT", "violations" -> "BIGINT"),
+        Seq(Seq(blocks.toString, parsed.toString, identical.toString,
+          (parsed - identical).toString))),
+      "kg_canonical" -> valuesSql(
+        Seq("id" -> "VARCHAR", "canonical" -> "VARCHAR"),
+        canonical.toSeq.sortBy(_._1).map { case (a, b) => Seq(sqlStr(a), sqlStr(b)) }),
+      "kg_triples" -> valuesSql(tripleCols, tripleRows.result()),
+      "kg_triples_sql" -> valuesSql(tripleCols.filterNot(_._1 == "block"),
+        sqlRows.result()))
+    (sqls, asserts)
+  }
+
+  def emit(workDir: Path): Unit = {
+    val outDir = Paths.get("src/main/resources/graft/oracles")
+    Files.createDirectories(outDir)
+    def write(name: String, sql: String): Unit = {
+      Files.write(outDir.resolve(s"$name.sql"), sql.getBytes(StandardCharsets.UTF_8))
+      println(f"wrote $name%-22s ${sql.length}%9d bytes")
+    }
+    val (sqls, asserts) = blockPass(Some(workDir))
+    sqls.toSeq.sortBy(_._1).foreach { case (n, s) => write(n, s) }
+    write("kg_turtle_source", turtleSourceSql())
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try linkingSqls(spark).toSeq.sortBy(_._1).foreach { case (n, s) => write(n, s) }
+    finally spark.stop()
+    println(s"emit complete: $asserts reference-parity assertions passed")
+  }
+
+  /** Pure recomputation of the `parse_turtle_triples(text, url)` generator
+    * path (TurtleExpressions.scala eval): whole page text as ONE document,
+    * bnode labels `_:h<hex(fnv64(url))>_<id>`. */
+  def sqlPathRows(url: String, text: String): Vector[Model.TripleRow] = {
+    import graft.turtle.{TurtleParser, TripleProducer}
+    import graft.turtle.TripleProducer.{TIri, TBnode, TLit}
+    val urlHash = PagesSource.fnv64(url)
+    def bn(id: Int): String =
+      "_:h" + java.lang.Long.toHexString(urlHash) + "_" + id
+    def err(msg: String) =
+      Vector(Model.TripleRow(url, 0, null, null, null, null, null, null, null, msg))
+    TurtleParser.parseFull(text) match {
+      case Left(TurtleParser.NotFullyParsed(rest)) =>
+        err("NotFullyParsed: " + rest.take(64))
+      case Left(e) => err(e.toString.take(128))
+      case Right(ast) =>
+        TripleProducer.produce(ast) match {
+          case Left(e) => err("ProduceError: " + e.take(128))
+          case Right(ts) =>
+            ts.distinct.toVector.map { tr =>
+              val (s, sk) = tr.subj match {
+                case TIri(x)    => (x, "iri")
+                case TBnode(id) => (bn(id), "bnode")
+                case _          => (null, null)
+              }
+              val (ok, ov, od, ol) = tr.obj match {
+                case TIri(x)       => ("iri", x, null, null)
+                case TBnode(id)    => ("bnode", bn(id), null, null)
+                case TLit(l, d, g) => ("literal", l, d.orNull, g.orNull)
+              }
+              Model.TripleRow(url, 0, s, sk, tr.pred, ok, ov, od, ol, null)
+            }
+        }
+    }
+  }
+
+  /** kg_turtle_source: every fixture through the V2 source's pure row path,
+    * anchored per fixture against the frozen refgen TSVs
+    * (tools/refgen/out — the reference binary's own output). */
+  def turtleSourceSql(): String = {
+    val refOut = Paths.get("tools/refgen/out")
+    val rows = Vector.newBuilder[Seq[String]]
+    FixtureCorpus.all.foreach { case (name, text) =>
+      val flat = name.replace('/', '_')
+      val docRows = graft.sources.TurtleDataSource
+        .rowsForDocument(flat, text).toVector
+      val tsv = refOut.resolve(s"$flat.tsv")
+      if (Files.exists(tsv)) {
+        // produced fixture: canonical-relabel and compare to the reference
+        val refRaw = new String(Files.readAllBytes(tsv), StandardCharsets.UTF_8)
+          .stripSuffix("\n")
+        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+        if (refRaw.nonEmpty) refRaw.split("\n", -1).foreach(seen += _)
+        val canon = new PageCrossCheckGen.Canon
+        val gLines = docRows.filter(_(8) == null).map { r =>
+          canon.line(Model.TripleRow(r(0), 0, r(1), r(2), r(3), r(4), r(5),
+            r(6), r(7), null))
+        }
+        require(gLines == seen.toVector,
+          s"kg_turtle_source diverged from refgen on $name")
+      } else {
+        // refusal/parse-error fixture: refgen wrote no TSV; the source must
+        // emit exactly one error row
+        require(docRows.length == 1 && docRows.head(8) != null,
+          s"$name has no refgen TSV but the source produced rows")
+      }
+      docRows.foreach(r => rows += r.map(sqlStr).toSeq)
+    }
+    valuesSql(
+      Seq("file" -> "VARCHAR", "subj" -> "VARCHAR", "subj_kind" -> "VARCHAR",
+        "pred" -> "VARCHAR", "obj_kind" -> "VARCHAR", "obj_value" -> "VARCHAR",
+        "obj_datatype" -> "VARCHAR", "obj_lang" -> "VARCHAR",
+        "error" -> "VARCHAR"),
+      rows.result())
+  }
+
+  /** kg_link + kg_entity_mentions: run the actual Spark queries once and
+    * freeze their output. The mention SET is re-anchored to the reference's
+    * triples upstream (the mention triples ride the same per-block parity
+    * asserts); the link DECISIONS are graft semantics with no reference
+    * counterpart — proven local≡distributed in the linking specs, frozen
+    * here as a regression pin. */
+  def linkingSqls(spark: org.apache.spark.sql.SparkSession): Map[String, String] = {
+    val sfDir = "/root/testdata/sf0.01"
+    val linked = graft.SparkEntry.queries("kg_link")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).sortBy(identity).toVector
+    val counts = graft.SparkEntry.queries("kg_entity_mentions")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toVector
+    Map(
+      "kg_link" -> valuesSql(
+        Seq("url" -> "VARCHAR", "surface" -> "VARCHAR",
+          "entity_iri" -> "VARCHAR", "method" -> "VARCHAR"),
+        linked.map { case (u, s, e, m) => Seq(sqlStr(u), sqlStr(s), sqlStr(e), sqlStr(m)) }),
+      "kg_entity_mentions" -> valuesSql(
+        Seq("entity_iri" -> "VARCHAR", "n" -> "BIGINT"),
+        counts.map { case (e, n) => Seq(sqlStr(e), n.toString) }))
+  }
+}

@@ -66,8 +66,9 @@ object PageCrossCheckGen {
   }
 
   /** Canonical refgen-format line for a success TripleRow, with bnode
-    * labels relabeled `_:cN` in first-appearance order per block. */
-  private final class Canon {
+    * labels relabeled `_:cN` in first-appearance order per block.
+    * (package-visible: KgOracleGen reuses it for the oracle parity check) */
+  private[kg] final class Canon {
     private val ids = scala.collection.mutable.HashMap.empty[String, Int]
     private def b(label: String): String =
       "_:c" + ids.getOrElseUpdate(label, ids.size)

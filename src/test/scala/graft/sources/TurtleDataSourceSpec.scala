@@ -34,6 +34,33 @@ class TurtleDataSourceSpec extends AnyFunSuite {
       r.getString(6) == "http://www.w3.org/2001/XMLSchema#double"))
   }
 
+  test("oversized files yield a FileTooLarge error row, not an OOM slurp") {
+    val dir = Files.createTempDirectory("ttl-src3")
+    Files.write(dir.resolve("big.ttl"),
+      ("<http://s> <http://p> \"" + "x" * 2048 + "\" .").getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("small.ttl"),
+      "<http://s> <http://p> <http://o> .".getBytes(StandardCharsets.UTF_8))
+    val rows = spark.read.format("turtle").option("maxBytes", "1024")
+      .load(dir.toString).collect()
+    val err = rows.filter(_.getString(8) != null)
+    assert(err.length == 1 && err.head.getString(0).endsWith("big.ttl") &&
+      err.head.getString(8).startsWith("FileTooLarge: "))
+    assert(rows.count(_.getString(8) == null) == 1) // small.ttl still parses
+  }
+
+  test("bnode labels derive from document content, not file location") {
+    val d1 = Files.createTempDirectory("ttl-loc1")
+    val d2 = Files.createTempDirectory("ttl-loc2")
+    val doc = "[] <http://p> <http://o> ."
+    Files.write(d1.resolve("x.ttl"), doc.getBytes(StandardCharsets.UTF_8))
+    Files.write(d2.resolve("renamed.ttl"), doc.getBytes(StandardCharsets.UTF_8))
+    def subj(dir: java.nio.file.Path): String =
+      spark.read.format("turtle").load(dir.toString)
+        .select("subj").collect().head.getString(0)
+    val (s1, s2) = (subj(d1), subj(d2))
+    assert(s1 == s2 && s1.startsWith("_:h"))
+  }
+
   test("column pruning works through the V2 scan") {
     val dir = Files.createTempDirectory("ttl-src2")
     Files.write(dir.resolve("x.ttl"),
