@@ -357,6 +357,10 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         MixOps.assignSplit(col("doc_id"),
           Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)).as("split"))),
+    "mix_stratified" -> ((s, d) =>
+      MixOps.stratifiedSample(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"), stratifiedRates)),
     "pack_sequences" -> ((s, d) =>
       PackOps.packSequences(t(s, d, "documents"), "doc_id",
         TextOps.tokenCount(col("text")), budget = 2048L, partitions = 8)),
@@ -400,6 +404,17 @@ object SparkEntry {
       case 1 => 1.0
       case 2 => 1.7
       case _ => 2.5
+    })).toMap
+
+  /** Per-source sampling rates for `mix_stratified`: suffix mod 4 cycles
+    * {0.2, 0.5, 0.8, 1.0}; src19 deliberately absent so the
+    * missing-stratum → dropped path is exercised. */
+  private val stratifiedRates: Map[String, Double] =
+    (0 until 19).map(k => s"src$k" -> (k % 4 match {
+      case 0 => 0.2
+      case 1 => 0.5
+      case 2 => 0.8
+      case _ => 1.0
     })).toMap
 
   /** The dedup corpus: documents plus deterministic near-duplicate copies
@@ -614,6 +629,19 @@ object SparkEntry {
        SELECT doc_id, source,
          CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS "copy"
        FROM c WHERE n > 0"""
+
+  /** [[MixOps.stratifiedSample]] over documents with [[stratifiedRates]]:
+    * keep rows whose PURPOSE_SAMPLE gate lands under the stratum's
+    * quantized rate; src19 (absent stratum) drops entirely. */
+  private def mixStratifiedOracle: String =
+    s"""WITH gates AS MATERIALIZED (
+         SELECT * FROM ${mixGateFrom(graft.ops.MixOps.PURPOSE_SAMPLE)} gsub)
+       SELECT doc_id, source FROM gates
+       WHERE gate < CASE WHEN source = 'src19' THEN 0
+            WHEN CAST(substr(source, 4) AS INT) % 4 = 0 THEN 2000
+            WHEN CAST(substr(source, 4) AS INT) % 4 = 1 THEN 5000
+            WHEN CAST(substr(source, 4) AS INT) % 4 = 2 THEN 8000
+            ELSE 10000 END"""
 
   /** [[MixOps.assignSplit]] with 98/1/1 train/val/test fractions: gate
     * bucket ranges [0,9800) / [9800,9900) / [9900,10000); the gate chains
@@ -1053,6 +1081,7 @@ object SparkEntry {
     // (XXH64 single-lane: one wrapped-multiply round + avalanche, seed 42)
     "mix_weighted" -> mixWeightedOracle,
     "mix_splits" -> mixSplitsOracle,
+    "mix_stratified" -> mixStratifiedOracle,
     "pack_sequences" -> packSequencesOracle,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

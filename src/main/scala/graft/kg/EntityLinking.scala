@@ -115,21 +115,36 @@ object EntityLinking {
     * dictionary), both vocabulary-scale here; computing it locally
     * replaces ~10 tiny scheduler stages (distinct → normalize → exact
     * join → anti join → band flatMaps → band join → dedup → UDF → groupBy
-    * → collect) with microseconds of JVM work — the same tiny-data-wants-
-    * a-local-algorithm trade as Canonicalize's union-find path. Semantics
-    * are identical to [[distributedSurfaceMap]] (tested both ways):
-    * exact matches emit one row per matching dict entry; misses take the
-    * best LSH candidate by (jaccard, iri) — the tuple ordering Spark's
-    * max(struct(jaccard, cand_iri)) applies. */
+    * → collect) — the same tiny-data-wants-a-local-algorithm trade as
+    * Canonicalize's union-find path. Semantics are identical to
+    * [[distributedSurfaceMap]] (tested both ways): exact matches emit one
+    * row per matching dict entry; misses take the best LSH candidate by
+    * (jaccard, iri) — the tuple ordering Spark's
+    * max(struct(jaccard, cand_iri)) applies.
+    *
+    * Cost at the gate: per-surface normalize+MinHash+banding is ~1-10 µs,
+    * so at the 2M-surface gate the map is seconds of CPU, NOT microseconds
+    * — which is why the two hot loops (dictionary banding, per-surface
+    * matching) run on parallel streams over the driver's cores. The result
+    * is index-assembled, so output order (and therefore the broadcast
+    * relation) is bit-identical to the sequential computation. */
   private[kg] def localSurfaceMap(surfaces: Array[String],
       dictArr: Array[DictEntry]): Array[(String, String, String)] = {
     val byNorm = dictArr.groupBy(_.surface)
-    val bandIdx = dictArr
-      .flatMap(d => bands(minhash(shingles(d.surface))).map(bh => bh -> d))
+    // dictionary banding: the MinHash per entry dominates → parallel map
+    // into a fixed slot per entry, then one cheap sequential groupBy
+    val dictBands = new Array[Array[((Int, Long), DictEntry)]](dictArr.length)
+    java.util.stream.IntStream.range(0, dictArr.length).parallel().forEach { i =>
+      val d = dictArr(i)
+      dictBands(i) = bands(minhash(shingles(d.surface))).map(bh => bh -> d)
+    }
+    val bandIdx = dictBands.iterator.flatten.toArray
       .groupBy(_._1).map { case (bh, es) => bh -> es.map(_._2) }
-    surfaces.flatMap { s =>
+    val out = new Array[Seq[(String, String, String)]](surfaces.length)
+    java.util.stream.IntStream.range(0, surfaces.length).parallel().forEach { i =>
+      val s = surfaces(i)
       val norm = normalize(s)
-      byNorm.get(norm) match {
+      out(i) = byNorm.get(norm) match {
         case Some(entries) =>
           entries.toSeq.map(e => (s, e.entity_iri, "exact"))
         case None =>
@@ -142,6 +157,7 @@ object EntityLinking {
           if (scored.isEmpty) Nil else List((s, scored.max._2, "lsh"))
       }
     }
+    out.flatten
   }
 
   /** The at-scale path: the same decision as [[localSurfaceMap]] as a

@@ -94,8 +94,21 @@ object Materialize {
     if (manifestBuckets.isEmpty && sidecarBuckets.isEmpty) {
       // no commit metadata at all: any existing triples dir is foreign or
       // pre-dates the sidecar — treat as dirty and rebuild from scratch
-      // rather than merging unknown bucket dirs into this write's layout
-      hfs.delete(new Path(s"$outDir/triples"), true)
+      // rather than merging unknown bucket dirs into this write's layout.
+      // The old data is renamed ASIDE (not deleted): a table whose manifest
+      // was lost out-of-band is replaced auditably and recoverably, never
+      // silently destroyed. Readers scanning mid-rebuild lose visibility
+      // either way — inherent to rebuilding in place.
+      val triplesPath = new Path(s"$outDir/triples")
+      if (hfs.exists(triplesPath)) {
+        val aside = new Path(
+          s"$outDir/triples.foreign-${java.util.UUID.randomUUID().toString.take(8)}")
+        System.err.println(s"[graft.Materialize] WARN: $outDir/triples exists " +
+          s"with no manifest and no _buckets.json sidecar; treating as foreign " +
+          s"data and renaming it aside to $aside before rebuilding")
+        require(hfs.rename(triplesPath, aside),
+          s"could not move foreign triples dir aside to $aside")
+      }
     }
     writeBucketSidecarOnce(outDir, nb)
 

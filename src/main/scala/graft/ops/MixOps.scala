@@ -70,6 +70,11 @@ object MixOps {
     * replicas. Narrow (generate-only) — no shuffle. */
   def weightedMix(df: DataFrame, strata: Column, key: Column,
       weights: Map[String, Double], copyCol: String = "copy"): DataFrame = {
+    // withColumn silently REPLACES a same-named input column — a collision
+    // would corrupt pass-through data, so refuse it loudly
+    require(!df.columns.contains(copyCol) && !df.columns.contains("__n_copies"),
+      s"weightedMix adds columns '$copyCol' and '__n_copies'; the input " +
+        "already has one of them — rename it or pass a different copyCol")
     val wq = coalesce(try_element_at(quantized(weights), strata), lit(0L))
     // integer floor/remainder split of the quantized weight: wq = full
     // epochs * BUCKETS + fractional gate threshold

@@ -160,6 +160,11 @@ object MultimodalOps {
       val w = leInt(content, 18)
       val h = leInt(content, 22)
       require(leShort(content, 28) == 24, "only 24bpp BMP supported")
+      // header-declared offset is untrusted: out-of-range must fail as
+      // IllegalArgumentException like every other malformed-container path,
+      // not as an ArrayIndexOutOfBounds the callers don't catch
+      require(offset >= 54 && offset <= content.length,
+        s"BMP pixel offset $offset out of range (${content.length} bytes)")
       var sum = 0L
       var j = offset
       while (j < content.length) {
@@ -173,6 +178,10 @@ object MultimodalOps {
         "only PCM16 WAV supported")
       val sampleRate = leInt(content, 24)
       val dataSize = leInt(content, 40)
+      // untrusted declared size: a truncated container must throw the same
+      // IllegalArgumentException as the unknown-container path
+      require(dataSize >= 0 && 44L + dataSize <= content.length,
+        s"WAV data chunk $dataSize bytes exceeds container (${content.length} bytes)")
       val n = dataSize / 2
       var sum = 0L
       var j = 0

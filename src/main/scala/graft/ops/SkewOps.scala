@@ -49,6 +49,18 @@ object SkewOps {
     // harmless for a pure count (salt only routes) but it makes plans
     // non-reproducible run-to-run. xxhash64 over all input columns is a
     // pure row function: same rows → same salt under any partitioning.
+    //
+    // LIMIT of the pure-row-function approach: if a hot key's rows are
+    // BYTE-IDENTICAL across every column (e.g. the caller pre-projected df
+    // to just the key), they all hash to one salt value and the two-phase
+    // spread degenerates to a single reducer for that key — results stay
+    // correct, only the skew mitigation is lost. Callers must keep at
+    // least one high-entropy payload column (url, offset, event id) in df;
+    // every retry-stable alternative has the same blind spot, because
+    // identical rows are indistinguishable to any deterministic function.
+    // (For plain COUNT states this degeneration is also harmless — the
+    // map-side partial count already collapses identical rows per
+    // partition; the salt matters for wide merge states.)
     val pre = df
       .withColumn("_salt",
         pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(salt)).cast("int"))

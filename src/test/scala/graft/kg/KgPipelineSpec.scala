@@ -202,6 +202,45 @@ class KgPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .filter(_.startsWith("bucket=")).toSet
     } finally dirs.close()
     assert(buckets == (0 until 5).map(b => s"bucket=$b").toSet)
+    // the foreign data was renamed ASIDE (auditably recoverable), not deleted
+    val aside = {
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("triples.foreign-")).toSeq
+      } finally ls.close()
+    }
+    assert(aside.size == 1)
+    val asideBuckets = {
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(out, aside.head))
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("bucket=")).toSet
+      } finally ls.close()
+    }
+    assert(asideBuckets == (0 until 7).map(b => s"bucket=$b").toSet)
+  }
+
+  test("localSurfaceMap is parallel-deterministic and linear at scale") {
+    // 120k distinct surfaces against the standard dictionary: completes in
+    // bounded time (a quadratic regression would take hours) and the
+    // index-assembled parallel result is run-to-run identical
+    val surfaces = Array.tabulate(120000) { i =>
+      if (i % 3 == 0) s"entity ${i % 2000}" // exact path
+      else if (i % 3 == 1) s"the entity ${i % 2000}" // lsh path
+      else s"no such thing $i" // miss
+    }
+    val dict = PagesSource.dictionaryLocal.toArray
+    val t0 = System.nanoTime()
+    val a = EntityLinking.localSurfaceMap(surfaces, dict)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 120, s"localSurfaceMap took ${secs}s for 120k surfaces")
+    val b = EntityLinking.localSurfaceMap(surfaces, dict)
+    // 40k exact hits + 40k lsh hits; the 40k nonsense surfaces miss
+    assert(a.length == 80000 && java.util.Arrays.equals(
+      a.asInstanceOf[Array[AnyRef]], b.asInstanceOf[Array[AnyRef]]))
   }
 
   test("per-group commits preserve PARTIAL progress and resume completes it") {

@@ -31,6 +31,26 @@ class SkewOpsSpec extends AnyFunSuite {
     assert(plain.sameElements(salted))
   }
 
+  test("saltedCount on fully-duplicate hot-key rows: counts stay correct; " +
+      "the salt spread degenerates without a payload column and recovers with one") {
+    import spark.implicits._
+    // 10k byte-identical rows of one hot key and nothing else
+    val bare = spark.range(0, 10000).select(lit("hub").as("entity_iri"))
+    val counted = SkewOps.saltedCount(bare, $"entity_iri", 16).collect()
+    assert(counted.length == 1 && counted.head.getLong(1) == 10000L)
+    // the documented degeneration: identical rows -> identical salt
+    def distinctSalts(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(16)))
+        .distinct().count()
+    assert(distinctSalts(bare) == 1L)
+    // a high-entropy payload column (the documented requirement) restores it
+    val withPayload = spark.range(0, 10000)
+      .select(lit("hub").as("entity_iri"), $"id".as("offset"))
+    assert(distinctSalts(withPayload) == 16L)
+    val counted2 = SkewOps.saltedCount(withPayload, $"entity_iri", 16).collect()
+    assert(counted2.length == 1 && counted2.head.getLong(1) == 10000L)
+  }
+
   test("saltedCount output is invariant under input repartitioning") {
     import spark.implicits._
     val df = spark.range(0, 5000)
