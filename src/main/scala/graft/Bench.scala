@@ -172,13 +172,15 @@ object Bench {
     val clusterJson =
       if (sys.env.contains("GRAFT_SKIP_CLUSTER")) """{"skipped":true}"""
       else
-        // HALF the local-pipeline input: a separate-JVM pair at n/2 costs
-        // ~2 min instead of ~7, so the storm-aware extra-pair budget can
-        // afford several independent weather draws inside the bench's
-        // wall-clock (measured: the 1x2c→4x2c pair efficiency is the same
-        // 0.80-0.88 at 2M pages as at 4M — the job is still far above the
-        // orchestration floor)
-        try ClusterScale.measureJson(math.max(n / 2, nQueries),
+        // FULL pipeline input (n): shrinking the job to halve per-pair cost
+        // was measured and REJECTED — at 2M pages the high side finishes in
+        // ~22 s and its fixed per-job latency (scheduling, barriers, commit)
+        // drags every pair to 0.71-0.78, while a 4M pair in the SAME
+        // weather window reads 0.87 (seven 2M pairs + one 4M control,
+        // BENCH.md "input-size control"). The gate needs the job long
+        // enough to amortize the floor; weather draws come from the
+        // extra-pair budget instead.
+        try ClusterScale.measureJson(n,
           reps = sys.env.getOrElse("GRAFT_CLUSTER_REPS", "2").toInt,
           coresPerWorker = sys.env.getOrElse("GRAFT_CLUSTER_CPW", "2").toInt)
         catch {

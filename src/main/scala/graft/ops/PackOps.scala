@@ -53,11 +53,13 @@ object PackOps {
       if (partitions <= 1) Array.empty
       else docs.stat.approxQuantile(idCol,
         (1 until partitions).map(_.toDouble / partitions).toArray, 0.001)
+    // O(log P) codegen'd binary search over the cut literals — the naive
+    // per-cut indicator sum is O(P) in plan size AND per-row work, which
+    // breaks down when partitions is scaled to thousands (SearchBucket
+    // scaladoc). Ties land in the lower bucket, same as `id > cut`.
     val rangeOf: Column =
       if (cuts.isEmpty) lit(0)
-      else cuts.distinct.sorted
-        .map(c => when(col(idCol) > lit(c), 1).otherwise(0))
-        .reduce(_ + _)
+      else graft.functions.SearchBucket.bucket(col(idCol), cuts)
 
     val base = docs.select(col(idCol), tokenExpr.as("n_tokens"))
       .withColumn("__range", rangeOf)
