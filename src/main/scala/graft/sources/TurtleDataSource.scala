@@ -39,6 +39,10 @@ class TurtleDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     TurtleDataSource.SCHEMA
 
+  // writes carry the query's own schema (the sink resolves its required
+  // columns by name and ignores extras like url/block/error)
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val opts = properties.asScala
@@ -46,7 +50,8 @@ class TurtleDataSource extends TableProvider with DataSourceRegister {
       opts.getOrElse("path",
         throw new IllegalArgumentException("turtle source requires a path")),
       opts.get("maxbytes").orElse(opts.get("maxBytes")).map(_.toLong)
-        .getOrElse(TurtleDataSource.DEFAULT_MAX_BYTES))
+        .getOrElse(TurtleDataSource.DEFAULT_MAX_BYTES),
+      schema)
   }
 }
 
@@ -133,14 +138,21 @@ object TurtleDataSource {
   }
 }
 
-private class TurtleTable(path: String, maxBytes: Long)
-    extends Table with SupportsRead {
+private class TurtleTable(path: String, maxBytes: Long,
+    tableSchema: StructType)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"turtle($path)"
-  override def schema(): StructType = TurtleDataSource.SCHEMA
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TurtleScanBuilder(path, maxBytes)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new TurtleWriteBuilder(path, info)
 }
 
 private class TurtleScanBuilder(path: String, maxBytes: Long) extends ScanBuilder {
