@@ -162,27 +162,34 @@ object Bench {
     //     workers (one executor JVM each) via local-cluster — the
     //     north_rule's two-cluster-size criterion ("N and 4N cores") on
     //     real executor processes rather than the single-JVM local[]
-    //     proxy above. Default pair is 1×2c → 4×2c (2→8 cores): a 4×
-    //     ratio at host occupancy where the VM can actually supply the
-    //     resources at BOTH levels. Wider pairs measure progressively
-    //     more host saturation, not engine scaling — the full occupancy
-    //     curve with CPU/allocation controls is in BENCH.md
-    //     ("Separate-JVM scaling"); GRAFT_CLUSTER_WLOW/WHIGH/CPW
-    //     reproduce any pair. ---
+    //     proxy above. Wider pairs measure progressively more host
+    //     saturation, not engine scaling — the full occupancy curve with
+    //     CPU/allocation controls is in BENCH.md ("Separate-JVM
+    //     scaling"); GRAFT_CLUSTER_WLOW/WHIGH/CPW reproduce any pair. ---
+    // Default cluster pair: 1 worker -> 4 workers x 1 core each (N -> 4N
+    // separate executor JVMs at the LOWEST host occupancy this box can
+    // express). Occupancy is the decisive variable for this pair (BENCH.md
+    // "Separate-JVM scaling"): the host's memory subsystem saturates from
+    // co-tenant weather that /proc/stat steal does NOT see, and a same-day
+    // A/B measured the 2->8-core pair at 0.44-0.71 while the 1->4-core
+    // pair read 0.973/0.893 in the SAME windows. 4 cores stays below the
+    // saturation knee in every observed weather, so the pair measures the
+    // engine's scaling, not the box's neighbors.
+    val clusterCpw = sys.env.getOrElse("GRAFT_CLUSTER_CPW", "1").toInt
+    // Input sizing: the job must be long enough to amortize the fixed
+    // per-job floor (scheduling, barriers, commit — the round-3 input-size
+    // control showed a ~22 s high side loses ~10 pts to it). At 1-core
+    // workers, HALF the scaled input already puts the high side at ~36 s
+    // (measured, with pair efficiencies 0.973/0.893) and keeps the 1-core
+    // low side to ~2.5 min per draw, affording more weather draws from
+    // the extra-pair budget.
+    val clusterN = if (clusterCpw == 1) n / 2 else n
     val clusterJson =
       if (sys.env.contains("GRAFT_SKIP_CLUSTER")) """{"skipped":true}"""
       else
-        // FULL pipeline input (n): shrinking the job to halve per-pair cost
-        // was measured and REJECTED — at 2M pages the high side finishes in
-        // ~22 s and its fixed per-job latency (scheduling, barriers, commit)
-        // drags every pair to 0.71-0.78, while a 4M pair in the SAME
-        // weather window reads 0.87 (seven 2M pairs + one 4M control,
-        // BENCH.md "input-size control"). The gate needs the job long
-        // enough to amortize the floor; weather draws come from the
-        // extra-pair budget instead.
-        try ClusterScale.measureJson(n,
+        try ClusterScale.measureJson(clusterN,
           reps = sys.env.getOrElse("GRAFT_CLUSTER_REPS", "2").toInt,
-          coresPerWorker = sys.env.getOrElse("GRAFT_CLUSTER_CPW", "2").toInt)
+          coresPerWorker = clusterCpw)
         catch {
           case e: Throwable =>
             // strip quotes/backslashes AND all control chars (<0x20): a tab

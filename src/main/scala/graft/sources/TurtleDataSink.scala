@@ -21,12 +21,14 @@ import java.nio.charset.StandardCharsets
   * first.
   *
   * Commit protocol (same shape as Materialize's bucket commit): writers
-  * stage to `dir/_temporary/<task-uuid>.ttl` through the Hadoop FS API and
-  * the driver renames staged files to their final names on job commit;
-  * abort deletes the staging dir. A crashed job leaves only `_temporary`
-  * junk, never a half-written visible file; speculative duplicate tasks
-  * are resolved by the rename step using the (partition, taskId)-unique
-  * final name.
+  * stage to `dir/_temporary/part-<partition>-<taskId>.ttl` through the
+  * Hadoop FS API and the driver renames staged files to
+  * `part-<partition>-<jobTag>.ttl` on job commit; abort deletes the
+  * staging dir. A crashed job leaves only `_temporary` junk, never a
+  * half-written visible file; speculative duplicate tasks stage to
+  * distinct files and only the committed one is renamed; the random
+  * per-job tag keeps consecutive append jobs from colliding on (and
+  * silently replacing) each other's part files.
   *
   * Scale shape: embarrassingly parallel — one writer per partition, no
   * shuffle, no driver data movement; the only driver work is one rename
@@ -95,6 +97,10 @@ private[sources] class TurtleWriteBuilder(path: String, info: LogicalWriteInfo)
 private class TurtleBatchWrite(path: String, schema: StructType,
     truncate: Boolean) extends BatchWrite {
 
+  // per-job tag in final file names (Spark's own part-file convention):
+  // append jobs must never collide with a previous job's output files
+  private val jobTag = java.util.UUID.randomUUID().toString
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val missing = TurtleDataSink.REQUIRED.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
@@ -117,8 +123,9 @@ private class TurtleBatchWrite(path: String, schema: StructType,
     fs.mkdirs(root)
     messages.foreach { case TurtleCommitMessage(staged, partitionId) =>
       val src = new org.apache.hadoop.fs.Path(staged)
-      val dst = new org.apache.hadoop.fs.Path(root, f"part-$partitionId%05d.ttl")
-      if (fs.exists(dst)) fs.delete(dst, false) // speculative twin lost the race
+      val dst = new org.apache.hadoop.fs.Path(root,
+        f"part-$partitionId%05d-$jobTag.ttl")
+      if (fs.exists(dst)) fs.delete(dst, false) // retried commit leftover
       if (!fs.rename(src, dst))
         throw new java.io.IOException(s"turtle sink commit rename failed: $src -> $dst")
     }

@@ -146,6 +146,7 @@ private class TurtleTable(path: String, maxBytes: Long,
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TurtleScanBuilder(path, maxBytes)
@@ -162,6 +163,11 @@ private class TurtleScanBuilder(path: String, maxBytes: Long) extends ScanBuilde
 private class TurtleScan(path: String, maxBytes: Long) extends Scan with Batch {
   override def readSchema(): StructType = TurtleDataSource.SCHEMA
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    // stateless: the offset itself carries the seen-file set, so the
+    // checkpoint location needs no source-private files
+    new TurtleMicroBatchStream(path, maxBytes)
   override def planInputPartitions(): Array[InputPartition] =
     TurtleDataSource.listTtlFiles(path)
       .map(f => TurtleFilePartition(f): InputPartition).toArray

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Micro-batch streaming read for the `turtle` format:
+  * `spark.readStream.format("turtle").load(dir)` emits the triple rows of
+  * each newly arrived `.ttl` document exactly once — continuous KG
+  * construction over a landing directory (pair with watermarked aggs or
+  * `Materialize` in `foreachBatch` downstream).
+  *
+  * Offset design: an offset is the SET of discovered file names (sorted,
+  * JSON-encoded). `latestOffset` lists the directory; a batch processes
+  * `end.files -- start.files`, so a file is read exactly once no matter how
+  * the trigger interleaves with arrivals, and restart-from-checkpoint is
+  * correct because the offset itself carries the full seen set (no
+  * driver-memory state to lose). This is the same bookkeeping Spark's own
+  * `FileStreamSource` keeps (a seen-files map persisted to the offset log),
+  * minus its periodic log compaction — at some 10^6 tracked files the
+  * offset JSON reaches tens of MB and a compacting file-registry (or
+  * partition-dated landing dirs, the usual production layout) should take
+  * over; the scaladoc'd contract keeps that visible rather than silently
+  * degrading.
+  *
+  * Executor-side behavior (parse unit, bnode labels, `maxBytes` size gate,
+  * error-as-data rows) is IDENTICAL to the batch reader — both paths share
+  * [[TurtleReaderFactory]], so every batch-path test covers the streaming
+  * rows too.
+  */
+private class TurtleMicroBatchStream(path: String, maxBytes: Long)
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset = TurtleOffset(Nil)
+
+  override def latestOffset(): Offset =
+    TurtleOffset(TurtleDataSource.listTtlFiles(path))
+
+  override def deserializeOffset(json: String): Offset =
+    TurtleOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[TurtleOffset].files.toSet
+    end.asInstanceOf[TurtleOffset].files.iterator
+      .filterNot(seen)
+      .map(f => TurtleFilePartition(f): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TurtleReaderFactory(maxBytes)
+
+  // the offset carries the whole seen set; nothing driver-side to persist
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private case class TurtleOffset(files: Seq[String]) extends Offset {
+  override def json: String =
+    TurtleOffset.mapper.writeValueAsString(files.toArray)
+}
+
+private object TurtleOffset {
+  private val mapper = new ObjectMapper()
+  def fromJson(s: String): TurtleOffset =
+    TurtleOffset(mapper.readValue(s, classOf[Array[String]]).toSeq)
+}
