@@ -80,6 +80,55 @@ object Bench {
     val scaleMult = sys.env.getOrElse("GRAFT_BENCH_SCALE", "2").toInt
     val n = nQueries * scaleMult
 
+    // --- separate-JVM scaling FIRST: the SAME pipeline at 1 vs 4
+    //     standalone workers (one executor JVM each) via local-cluster —
+    //     the north_rule's two-cluster-size criterion ("N and 4N cores")
+    //     on real executor processes rather than the single-JVM local[]
+    //     proxy below. Ordered before the local[32] phases: the cluster
+    //     pairs are the gated measurement and deserve the freshest host
+    //     state (the round-4 full-bench runs consistently read lower in
+    //     the cluster phase when it ran AFTER ~10 min of 32-core local
+    //     work, with a monotonically recovering pair sequence — whatever
+    //     host-level resource that heat occupies, the gate should not
+    //     pay for it). Wider pairs measure progressively more host
+    //     saturation, not engine scaling — the full occupancy curve with
+    //     CPU/allocation controls is in BENCH.md ("Separate-JVM
+    //     scaling"); GRAFT_CLUSTER_WLOW/WHIGH/CPW reproduce any pair. ---
+    // Default cluster pair: 1 worker -> 4 workers x 1 core each (N -> 4N
+    // separate executor JVMs at the LOWEST host occupancy this box can
+    // express). Occupancy is the decisive variable for this pair: the
+    // host's memory subsystem saturates from co-tenant weather that
+    // /proc/stat steal does NOT see, and a same-day A/B measured the
+    // 2->8-core pair at 0.44-0.71 while the 1->4-core pair read
+    // 0.973/0.893 in the SAME windows. 4 cores stays below the
+    // saturation knee in every observed weather, so the pair measures
+    // the engine's scaling, not the box's neighbors.
+    val clusterCpw = sys.env.getOrElse("GRAFT_CLUSTER_CPW", "1").toInt
+    // Input sizing: the job must be long enough to amortize the fixed
+    // per-job floor (scheduling, barriers, commit — the round-3 input-size
+    // control showed a ~22 s high side loses ~10 pts to it). At 1-core
+    // workers, HALF the scaled input already puts the high side at ~36 s
+    // (measured, with pair efficiencies 0.973/0.893) and keeps the 1-core
+    // low side to ~2.5 min per draw, affording more weather draws from
+    // the extra-pair budget.
+    val clusterN = if (clusterCpw == 1) n / 2 else n
+    val clusterJson =
+      if (sys.env.contains("GRAFT_SKIP_CLUSTER")) """{"skipped":true}"""
+      else
+        try ClusterScale.measureJson(clusterN,
+          reps = sys.env.getOrElse("GRAFT_CLUSTER_REPS", "2").toInt,
+          coresPerWorker = clusterCpw)
+        catch {
+          case e: Throwable =>
+            // strip quotes/backslashes AND all control chars (<0x20): a tab
+            // or CR in a Hadoop/Spark exception message would break the
+            // driver's json.load of the bench line (same rule as Verify's
+            // oracle_sql.json escaping)
+            s"""{"error":"${e.toString
+              .replaceAll("[\"\\\\]", " ")
+              .replaceAll("[\\x00-\\x1F]", " ").take(160)}"}"""
+        }
+
     // JIT warmup: a small pipeline run so the first measured run doesn't
     // absorb JVM compilation cost (all measurements run in this JVM)
     runPipeline(cpusHigh, 2000)
@@ -157,49 +206,6 @@ object Bench {
       }
     spark.stop()
     rmTree(new java.io.File(stageDir))
-
-    // --- separate-JVM scaling: the SAME pipeline at 1 vs 4 standalone
-    //     workers (one executor JVM each) via local-cluster — the
-    //     north_rule's two-cluster-size criterion ("N and 4N cores") on
-    //     real executor processes rather than the single-JVM local[]
-    //     proxy above. Wider pairs measure progressively more host
-    //     saturation, not engine scaling — the full occupancy curve with
-    //     CPU/allocation controls is in BENCH.md ("Separate-JVM
-    //     scaling"); GRAFT_CLUSTER_WLOW/WHIGH/CPW reproduce any pair. ---
-    // Default cluster pair: 1 worker -> 4 workers x 1 core each (N -> 4N
-    // separate executor JVMs at the LOWEST host occupancy this box can
-    // express). Occupancy is the decisive variable for this pair (BENCH.md
-    // "Separate-JVM scaling"): the host's memory subsystem saturates from
-    // co-tenant weather that /proc/stat steal does NOT see, and a same-day
-    // A/B measured the 2->8-core pair at 0.44-0.71 while the 1->4-core
-    // pair read 0.973/0.893 in the SAME windows. 4 cores stays below the
-    // saturation knee in every observed weather, so the pair measures the
-    // engine's scaling, not the box's neighbors.
-    val clusterCpw = sys.env.getOrElse("GRAFT_CLUSTER_CPW", "1").toInt
-    // Input sizing: the job must be long enough to amortize the fixed
-    // per-job floor (scheduling, barriers, commit — the round-3 input-size
-    // control showed a ~22 s high side loses ~10 pts to it). At 1-core
-    // workers, HALF the scaled input already puts the high side at ~36 s
-    // (measured, with pair efficiencies 0.973/0.893) and keeps the 1-core
-    // low side to ~2.5 min per draw, affording more weather draws from
-    // the extra-pair budget.
-    val clusterN = if (clusterCpw == 1) n / 2 else n
-    val clusterJson =
-      if (sys.env.contains("GRAFT_SKIP_CLUSTER")) """{"skipped":true}"""
-      else
-        try ClusterScale.measureJson(clusterN,
-          reps = sys.env.getOrElse("GRAFT_CLUSTER_REPS", "2").toInt,
-          coresPerWorker = clusterCpw)
-        catch {
-          case e: Throwable =>
-            // strip quotes/backslashes AND all control chars (<0x20): a tab
-            // or CR in a Hadoop/Spark exception message would break the
-            // driver's json.load of the bench line (same rule as Verify's
-            // oracle_sql.json escaping)
-            s"""{"error":"${e.toString
-              .replaceAll("[\"\\\\]", " ")
-              .replaceAll("[\\x00-\\x1F]", " ").take(160)}"}"""
-        }
 
     def f(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }

@@ -196,7 +196,7 @@ object ClusterScale {
     // wall-clock is kept small (Bench passes n/2 for this block) exactly so
     // this budget affords several independent weather draws — a pair of
     // ~2 min fits inside a quiet window far more often than a ~7 min one.
-    var extraBudget = sys.env.getOrElse("GRAFT_CLUSTER_EXTRA", "4").toInt
+    var extraBudget = sys.env.getOrElse("GRAFT_CLUSTER_EXTRA", "6").toInt
     while (extraBudget > 0 &&
         (pairEff(best()) < 0.80 || pairEff(best()) > 1.02)) {
       measurePair()
