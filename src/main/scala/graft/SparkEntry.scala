@@ -66,12 +66,16 @@ object SparkEntry {
     }),
     "kg_turtle_source" -> ((s, d) => {
       // the V2 file source: materialize the fixture corpus as .ttl files
-      // once, then spark.read.format("turtle")
-      val dir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-ttl-corpus")
+      // once, then spark.read.format("turtle"). The dir name is
+      // CONTENT-ADDRESSED (fnv64 over names+bytes): a corpus change can
+      // never silently reuse a stale dir (a file-count probe could — same
+      // count, different fixtures), and concurrent JVMs writing the same
+      // hash write identical bytes, so a re-write race is benign.
       val expected = graft.kg.FixtureCorpus.all
-      // (re)write unless the directory holds exactly the current corpus —
-      // a stale or partially-written dir must not be silently reused
+      val corpusHash = java.lang.Long.toHexString(graft.kg.PagesSource.fnv64(
+        expected.map(x => x._1 + " " + x._2 + " ").mkString))
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft-ttl-corpus-$corpusHash")
       val complete = java.nio.file.Files.isDirectory(dir) && {
         val ls = java.nio.file.Files.list(dir)
         try ls.count() == expected.size finally ls.close()
@@ -79,8 +83,15 @@ object SparkEntry {
       if (!complete) {
         java.nio.file.Files.createDirectories(dir)
         expected.foreach { case (name, text) =>
-          java.nio.file.Files.write(dir.resolve(name.replace('/', '_')),
+          // write-to-temp + atomic move: a reader listing mid-write sees
+          // either the old (incomplete -> rewritten) or the full file
+          val target = dir.resolve(name.replace('/', '_'))
+          val tmp = java.nio.file.Files.createTempFile(dir, ".wrt", ".tmp")
+          java.nio.file.Files.write(tmp,
             text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
       }
       // project the file column to its basename: the oracle is a static

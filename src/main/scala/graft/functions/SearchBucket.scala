@@ -35,9 +35,12 @@ case class SearchBucket(child: Expression, cuts: Array[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val arr = ctx.addReferenceObj("cuts", cuts, "double[]")
+    // freshName: two SearchBuckets in one codegen scope must not both
+    // declare the same Java local (duplicate-variable CompileException)
+    val b = ctx.freshName("graftSb")
     nullSafeCodeGen(ctx, ev, c => s"""
-      int graft_sb = java.util.Arrays.binarySearch($arr, $c);
-      ${ev.value} = graft_sb >= 0 ? graft_sb : -(graft_sb + 1);
+      int $b = java.util.Arrays.binarySearch($arr, $c);
+      ${ev.value} = $b >= 0 ? $b : -($b + 1);
     """)
   }
 

@@ -71,10 +71,15 @@ object MixOps {
   def weightedMix(df: DataFrame, strata: Column, key: Column,
       weights: Map[String, Double], copyCol: String = "copy"): DataFrame = {
     // withColumn silently REPLACES a same-named input column — a collision
-    // would corrupt pass-through data, so refuse it loudly
-    require(!df.columns.contains(copyCol) && !df.columns.contains("__n_copies"),
+    // would corrupt pass-through data, so refuse it loudly. Spark resolves
+    // column names case-INSENSITIVELY by default, so the guard must too
+    // (an input column 'Copy' would otherwise be silently replaced)
+    val lower = df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    require(!lower.contains(copyCol.toLowerCase(java.util.Locale.ROOT)) &&
+        !lower.contains("__n_copies"),
       s"weightedMix adds columns '$copyCol' and '__n_copies'; the input " +
-        "already has one of them — rename it or pass a different copyCol")
+        "already has one of them (case-insensitive) — rename it or pass a " +
+        "different copyCol")
     val wq = coalesce(try_element_at(quantized(weights), strata), lit(0L))
     // integer floor/remainder split of the quantized weight: wq = full
     // epochs * BUCKETS + fractional gate threshold

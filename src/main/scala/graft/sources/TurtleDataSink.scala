@@ -62,24 +62,55 @@ object TurtleDataSink {
     b.toString
   }
 
-  /** One triple statement line. Pure — shared with tests. */
+  /** An IRI rendered into `<...>` must not contain '>' (it would terminate
+    * the IRIREF early and corrupt the rest of the statement on re-read —
+    * the reader's quirk IRIREF accepts EVERYTHING else, newlines included,
+    * because document parsing is not line-oriented). */
+  private def checkIri(v: String, what: String): String = {
+    require(v != null, s"null $what cannot be serialized as Turtle — filter " +
+      "`error IS NULL` before writing to format(\"turtle\")")
+    require(v.indexOf('>') < 0,
+      s"$what contains '>' and cannot be rendered as an IRIREF: $v")
+    v
+  }
+
+  /** Bnode labels are re-lexed as BLANK_NODE_LABEL on re-read; restrict to
+    * a conservative always-relexable charset (the engine's own labels are
+    * `h<hex>_<id>`). */
+  private def checkBnode(v: String, what: String): String = {
+    require(v != null && v.nonEmpty, s"null/empty $what bnode label")
+    val label = if (v.startsWith("_:")) v.substring(2) else v
+    require(label.nonEmpty && label.forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '_') ,
+      s"$what bnode label would not re-lex as BLANK_NODE_LABEL: $v")
+    "_:" + label
+  }
+
+  /** One triple statement line. Pure — shared with tests. Malformed rows
+    * are REJECTED with a clear message, never silently mangled. */
   def renderLine(subj: String, subjKind: String, pred: String, objKind: String,
       objValue: String, objDt: String, objLang: String): String = {
     require(subj != null && pred != null && objKind != null,
       "error/null rows cannot be serialized as Turtle — filter `error IS NULL` " +
         "before writing to format(\"turtle\")")
-    def bnode(v: String) = if (v.startsWith("_:")) v else "_:" + v
-    val s = if (subjKind == "bnode") bnode(subj) else "<" + subj + ">"
+    val s = if (subjKind == "bnode") checkBnode(subj, "subj")
+            else "<" + checkIri(subj, "subj") + ">"
     val o = objKind match {
-      case "iri"   => "<" + objValue + ">"
-      case "bnode" => bnode(objValue)
+      case "iri"   => "<" + checkIri(objValue, "obj_value") + ">"
+      case "bnode" => checkBnode(objValue, "obj_value")
       case _ =>
+        require(objValue != null, "null literal obj_value cannot be serialized")
+        require(objLang == null || objLang.forall(c =>
+            (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+              (c >= '0' && c <= '9') || c == '-'),
+          s"obj_lang would not re-lex as LANGTAG: $objLang")
         quote(objValue) +
           (if (objLang != null) "@" + objLang
-           else if (objDt != null) "^^<" + objDt + ">"
+           else if (objDt != null) "^^<" + checkIri(objDt, "obj_datatype") + ">"
            else "")
     }
-    s + " <" + pred + "> " + o + " ."
+    s + " <" + checkIri(pred, "pred") + "> " + o + " ."
   }
 }
 
@@ -106,7 +137,7 @@ private class TurtleBatchWrite(path: String, schema: StructType,
     require(missing.isEmpty,
       s"turtle sink requires columns ${TurtleDataSink.REQUIRED.mkString(", ")}; " +
         s"missing: ${missing.mkString(", ")}")
-    new TurtleWriterFactory(path,
+    new TurtleWriterFactory(path, jobTag,
       TurtleDataSink.REQUIRED.map(schema.fieldIndex).toArray)
   }
 
@@ -129,13 +160,19 @@ private class TurtleBatchWrite(path: String, schema: StructType,
       if (!fs.rename(src, dst))
         throw new java.io.IOException(s"turtle sink commit rename failed: $src -> $dst")
     }
-    fs.delete(new org.apache.hadoop.fs.Path(root, "_temporary"), true)
+    // only THIS job's staging subdir: concurrent jobs writing the same
+    // directory each stage under _temporary/<jobTag>/ and must not see
+    // their staged files wiped by another job's commit/abort
+    fs.delete(new org.apache.hadoop.fs.Path(root, s"_temporary/$jobTag"), true)
+    // opportunistically drop the shared parent when empty (best-effort)
+    try fs.delete(new org.apache.hadoop.fs.Path(root, "_temporary"), false)
+    catch { case _: Exception => () }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/_temporary")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_temporary/$jobTag")
     tmp.getFileSystem(conf).delete(tmp, true)
   }
 }
@@ -143,17 +180,19 @@ private class TurtleBatchWrite(path: String, schema: StructType,
 private case class TurtleCommitMessage(stagedPath: String, partitionId: Int)
     extends WriterCommitMessage
 
-private class TurtleWriterFactory(path: String, fieldIdx: Array[Int])
-    extends DataWriterFactory {
+private class TurtleWriterFactory(path: String, jobTag: String,
+    fieldIdx: Array[Int]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new TurtleFileWriter(path, fieldIdx, partitionId, taskId)
+    new TurtleFileWriter(path, jobTag, fieldIdx, partitionId, taskId)
 }
 
-private class TurtleFileWriter(path: String, fieldIdx: Array[Int],
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+private class TurtleFileWriter(path: String, jobTag: String,
+    fieldIdx: Array[Int], partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
 
-  // (partitionId, taskId) keeps speculative twins on distinct staged files
-  private val staged = s"$path/_temporary/part-$partitionId-$taskId.ttl"
+  // (partitionId, taskId) keeps speculative twins on distinct staged files;
+  // the jobTag subdir keeps concurrent jobs' staging isolated
+  private val staged = s"$path/_temporary/$jobTag/part-$partitionId-$taskId.ttl"
   private val fs = new org.apache.hadoop.fs.Path(staged)
     .getFileSystem(new org.apache.hadoop.conf.Configuration())
   // keep the output dir free of .crc sidecar noise on checksum filesystems

@@ -51,6 +51,8 @@ class TurtleDataSource extends TableProvider with DataSourceRegister {
         throw new IllegalArgumentException("turtle source requires a path")),
       opts.get("maxbytes").orElse(opts.get("maxBytes")).map(_.toLong)
         .getOrElse(TurtleDataSource.DEFAULT_MAX_BYTES),
+      opts.get("minagems").orElse(opts.get("minAgeMs")).map(_.toLong)
+        .getOrElse(0L),
       schema)
   }
 }
@@ -70,12 +72,22 @@ object TurtleDataSource {
   /** List .ttl files via the Hadoop FileSystem API so the source works on
     * any Spark-supported filesystem (local, HDFS, S3A, ...), not just the
     * driver's local disk. */
-  def listTtlFiles(root: String): Seq[String] = {
+  def listTtlFiles(root: String): Seq[String] = listTtlFiles(root, 0L)
+
+  /** `minAgeMs > 0` skips files modified within the last `minAgeMs` — the
+    * grace window for producers that copy into the landing dir
+    * non-atomically (a file picked up mid-copy would parse truncated AND
+    * be permanently marked seen by the streaming offset). Producers that
+    * write-then-rename atomically (the usual landing protocol, and what
+    * Spark's own file sources require) can leave this 0. */
+  def listTtlFiles(root: String, minAgeMs: Long): Seq[String] = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(root)
     val fs = path.getFileSystem(conf)
     if (!fs.exists(path)) return Seq.empty
+    val cutoff =
+      if (minAgeMs <= 0) Long.MaxValue else System.currentTimeMillis() - minAgeMs
     val status = fs.getFileStatus(path)
     if (status.isFile) Seq(path.toString)
     else {
@@ -83,7 +95,8 @@ object TurtleDataSource {
       val it = fs.listFiles(path, true)
       while (it.hasNext) {
         val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith(".ttl"))
+        if (f.isFile && f.getPath.getName.endsWith(".ttl") &&
+            f.getModificationTime <= cutoff)
           out += f.getPath.toString
       }
       out.result().sorted
@@ -138,7 +151,7 @@ object TurtleDataSource {
   }
 }
 
-private class TurtleTable(path: String, maxBytes: Long,
+private class TurtleTable(path: String, maxBytes: Long, minAgeMs: Long,
     tableSchema: StructType)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
@@ -148,26 +161,36 @@ private class TurtleTable(path: String, maxBytes: Long,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TurtleScanBuilder(path, maxBytes)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // supportsExternalMetadata=true exists for the WRITE path (the sink
+    // resolves its columns from the query schema); the reader always emits
+    // the fixed triple schema, so a user-supplied read schema must refuse
+    // loudly here rather than misbind columns at runtime
+    require(tableSchema == TurtleDataSource.SCHEMA,
+      "the turtle READER does not support user-specified schemas; " +
+        "read the fixed triple schema and select/cast from it")
+    new TurtleScanBuilder(path, maxBytes, minAgeMs)
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new TurtleWriteBuilder(path, info)
 }
 
-private class TurtleScanBuilder(path: String, maxBytes: Long) extends ScanBuilder {
-  override def build(): Scan = new TurtleScan(path, maxBytes)
+private class TurtleScanBuilder(path: String, maxBytes: Long,
+    minAgeMs: Long = 0L) extends ScanBuilder {
+  override def build(): Scan = new TurtleScan(path, maxBytes, minAgeMs)
 }
 
-private class TurtleScan(path: String, maxBytes: Long) extends Scan with Batch {
+private class TurtleScan(path: String, maxBytes: Long, minAgeMs: Long = 0L)
+    extends Scan with Batch {
   override def readSchema(): StructType = TurtleDataSource.SCHEMA
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     // stateless: the offset itself carries the seen-file set, so the
     // checkpoint location needs no source-private files
-    new TurtleMicroBatchStream(path, maxBytes)
+    new TurtleMicroBatchStream(path, maxBytes, minAgeMs)
   override def planInputPartitions(): Array[InputPartition] =
     TurtleDataSource.listTtlFiles(path)
       .map(f => TurtleFilePartition(f): InputPartition).toArray

@@ -29,13 +29,16 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * [[TurtleReaderFactory]], so every batch-path test covers the streaming
   * rows too.
   */
-private class TurtleMicroBatchStream(path: String, maxBytes: Long)
-    extends MicroBatchStream {
+private class TurtleMicroBatchStream(path: String, maxBytes: Long,
+    minAgeMs: Long = 0L) extends MicroBatchStream {
 
   override def initialOffset(): Offset = TurtleOffset(Nil)
 
+  // minAgeMs: grace window for non-atomic producers (a file listed
+  // mid-copy would be parsed truncated and permanently marked seen).
+  // Producers that rename atomically into the dir can leave it 0.
   override def latestOffset(): Offset =
-    TurtleOffset(TurtleDataSource.listTtlFiles(path))
+    TurtleOffset(TurtleDataSource.listTtlFiles(path, minAgeMs))
 
   override def deserializeOffset(json: String): Offset =
     TurtleOffset.fromJson(json)

@@ -61,9 +61,15 @@ object IriResolver {
   }
 
   /** RFC 3986 §3.1: ALPHA (ALPHA|DIGIT|'+'|'-'|'.')* */
+  // ASCII-only per RFC 3986 scheme = ALPHA *( ALPHA / DIGIT / "+" / "-" /
+  // "." ) — Char.isLetter would also accept Unicode letters and diverge
+  // from the reference's is_ascii_alphabetic on inputs like "é:x"
+  private def asciiAlpha(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
   private def isSchemeLike(s: String): Boolean =
-    s.nonEmpty && s.head.isLetter && s.forall(c =>
-      c.isLetterOrDigit || c == '+' || c == '-' || c == '.')
+    s.nonEmpty && asciiAlpha(s.head) && s.forall(c =>
+      asciiAlpha(c) || (c >= '0' && c <= '9') ||
+        c == '+' || c == '-' || c == '.')
 
   /** Character-level IRI validation approximating oxiri's RFC 3987 grammar
     * check: characters that can never appear in a valid IRI (space, control

@@ -401,7 +401,10 @@ object KgOracleGen {
     * counterpart — proven local≡distributed in the linking specs, frozen
     * here as a regression pin. */
   def linkingSqls(spark: org.apache.spark.sql.SparkSession): Map[String, String] = {
-    val sfDir = "/root/testdata/sf0.01"
+    // NOT a filesystem path: the kg_* queries synthesize their corpus and
+    // use the sfDir string only as a page-count selector
+    // (PagesSource.countForSfDir substring match) — no IO, portable
+    val sfDir = "sf0.01"
     val linked = graft.SparkEntry.queries("kg_link")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
         r.getString(3))).sortBy(identity).toVector
