@@ -13,8 +13,9 @@ def parse_status(path):
         rows[name] = (outcome, rt, count, kind)
     return rows
 
-sc = parse_status("/tmp/pagecheck/scala_status.tsv")
-rf = parse_status("/tmp/pagecheck/ref_out/status.tsv")
+BASE = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pagecheck"
+sc = parse_status(f"{BASE}/scala_status.tsv")
+rf = parse_status(f"{BASE}/ref_out/status.tsv")
 assert set(sc) == set(rf), f"name sets differ: {len(sc)} vs {len(rf)}"
 mismatch = 0
 triple_mismatch = 0
@@ -35,8 +36,8 @@ for name in sorted(sc):
         # triples: scala is per-document DEDUPED; ref emits dups ->
         # compare scala lines vs first-occurrence-distinct of ref lines
         flat = name.replace("/", "_") + ".tsv"
-        s_lines = open(f"/tmp/pagecheck/scala_out/{flat}").read().rstrip("\n")
-        r_raw = open(f"/tmp/pagecheck/ref_out/{flat}").read().rstrip("\n")
+        s_lines = open(f"{BASE}/scala_out/{flat}").read().rstrip("\n")
+        r_raw = open(f"{BASE}/ref_out/{flat}").read().rstrip("\n")
         seen = set(); r_dedup = []
         for l in r_raw.split("\n") if r_raw else []:
             if l not in seen:
