@@ -225,6 +225,10 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+    "text_repetition" -> ((s, d) =>
+      // Gopher-style intra-document repetition counters: exact integers +
+      // the modal bigram (count desc / bigram desc tie-break)
+      TextOps.repetitionStats(t(s, d, "documents"))),
     "text_ngrams" -> ((s, d) => {
       // corpus trigram counts (LM-statistics / contamination primitive):
       // explode → map-side-combined count → TakeOrdered top-100 with a
@@ -1266,6 +1270,32 @@ object SparkEntry {
            string_split_regex(lower(text), '[^a-z0-9]+'),
            x -> length(x) > 0), ' ')) AS fp
          FROM documents""",
+    // repetition counters: same tokenization as text_fingerprint; the modal
+    // bigram's (n DESC, bg DESC) tie-break mirrors Spark's
+    // max(struct(n, bg)); all-ASCII tokens make the string orders identical
+    "text_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> length(x) > 0) AS t
+           FROM documents),
+         base AS (
+           SELECT doc_id, len(t)::BIGINT AS total_words,
+             len(list_distinct(t))::BIGINT AS distinct_words, t FROM toks),
+         bg AS (
+           SELECT doc_id, t[u.g] || ' ' || t[u.g+1] AS bg
+           FROM base, UNNEST(range(1, len(t))) AS u(g)),
+         cnt AS (
+           SELECT doc_id, bg, count(*)::BIGINT AS n FROM bg GROUP BY 1, 2),
+         top AS (
+           SELECT doc_id, bg AS top_bigram, n AS top_bigram_n,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY n DESC, bg DESC) AS rn
+           FROM cnt)
+         SELECT b.doc_id, b.total_words, b.distinct_words,
+           t.top_bigram, t.top_bigram_n
+         FROM base b LEFT JOIN (SELECT * FROM top WHERE rn = 1) t
+           USING (doc_id)""",
     // PII scrub: patterns restricted to the Java∩RE2 regex subset so the
     // replace/count semantics match byte-for-byte; 'g' flag because DuckDB
     // regexp_replace is first-match-only by default (Spark replaces all)

@@ -138,6 +138,42 @@ object TextOps {
     out.toArray
   }
 
+  /** Intra-document repetition counters (Gopher-style repetition filters):
+    * per document, the total and distinct word counts plus the most
+    * frequent word bigram and its count. All outputs are exact integers /
+    * strings (oracle-hash stable); the repetition fractions
+    * (1 - distinct/total, 2*top_bigram_n/total) are derivable downstream.
+    *
+    * Scale shape: the per-doc counters are a narrow codegen'd projection
+    * (token array materialized ONCE before the higher-order lambda — the
+    * text_ngrams lesson); the bigram mode is one explode +
+    * map-side-combined (doc, bigram) count + one per-doc max — both
+    * aggregations shuffle on keys that grow with the corpus, never
+    * collect. Tie-break: max(struct(n, bigram)) = highest count, then
+    * lexicographically greatest bigram — deterministic and reproducible
+    * in plain SQL. */
+  def repetitionStats(documents: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toksC = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+      w => length(w) > 0)
+    val base = documents.select(col(idCol), toksC.as("__toks"))
+      .select(col(idCol), col("__toks"),
+        size(col("__toks")).cast("long").as("total_words"),
+        size(array_distinct(col("__toks"))).cast("long").as("distinct_words"))
+    val t = col("__toks")
+    val bigramCounts = base
+      .select(col(idCol), explode(when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("n"))
+    val top = bigramCounts.groupBy(col(idCol))
+      .agg(max(struct(col("n"), col("bg"))).as("m"))
+      .select(col(idCol), col("m.bg").as("top_bigram"),
+        col("m.n").as("top_bigram_n"))
+    base.drop("__toks").join(top, Seq(idCol), "left")
+  }
+
   /** Winnowing fingerprints per document: (doc_id, fingerprint) rows —
     * join-ready for containment/near-dup detection. */
   def winnowFingerprints(documents: DataFrame, k: Int = 8, w: Int = 16): DataFrame = {

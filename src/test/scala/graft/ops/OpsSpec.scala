@@ -220,6 +220,26 @@ class OpsSpec extends AnyFunSuite {
     assert(f1.sameElements(f2))
   }
 
+  test("repetition stats: hand-computed counters and modal bigram") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a b"),      // bigrams: "a b" x3, "b a" x2
+      (2L, "x y z"),            // all distinct; tie "x y" vs "y z" -> "y z"
+      (3L, "solo"),             // no bigram
+      (4L, "")                  // empty
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(df).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 6L, 2L), (2L, 3L, 3L), (3L, 1L, 1L), (4L, 0L, 0L)))
+    assert(out(0).getString(3) == "a b" && out(0).getLong(4) == 3L)
+    // tie-break: count desc then bigram desc ("y z" > "x y")
+    assert(out(1).getString(3) == "y z" && out(1).getLong(4) == 1L)
+    assert(out(2).isNullAt(3) && out(3).isNullAt(3))
+    // determinism under re-evaluation (shuffle order independence)
+    val again = TextOps.repetitionStats(df).orderBy("doc_id").collect()
+    assert(out.sameElements(again))
+  }
+
   test("winnowing: shared long substrings share fingerprints") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"
     val b = "INTRO " + a + " OUTRO padding text here"
