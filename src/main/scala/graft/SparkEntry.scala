@@ -229,6 +229,10 @@ object SparkEntry {
       // Gopher-style intra-document repetition counters: exact integers +
       // the modal bigram (count desc / bigram desc tie-break)
       TextOps.repetitionStats(t(s, d, "documents"))),
+    "text_chunks" -> ((s, d) =>
+      // sliding-window chunking (32-token windows, 8-token overlap) —
+      // context-window prep; narrow, no shuffle
+      PackOps.chunkByTokenBudget(t(s, d, "documents"), 32, 8)),
     "text_ngrams" -> ((s, d) => {
       // corpus trigram counts (LM-statistics / contamination primitive):
       // explode → map-side-combined count → TakeOrdered top-100 with a
@@ -1296,6 +1300,25 @@ object SparkEntry {
            t.top_bigram, t.top_bigram_n
          FROM base b LEFT JOIN (SELECT * FROM top WHERE rn = 1) t
            USING (doc_id)""",
+    // chunking: exact integer arithmetic only — ceil via (a + b - 1) // b,
+    // 1-based inclusive list slicing on both sides
+    "text_chunks" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> length(x) > 0) AS t
+           FROM documents),
+         base AS (
+           SELECT doc_id, t, len(t)::BIGINT AS n FROM toks WHERE len(t) > 0),
+         chunks AS (
+           SELECT doc_id, n, u.g AS chunk_id,
+             t[(u.g*24+1):(CASE WHEN u.g*24+32 < n THEN u.g*24+32 ELSE n END)] AS ct
+           FROM base,
+             UNNEST(range(0, greatest(1, (n - 8 + 23) // 24))) AS u(g))
+         SELECT doc_id, chunk_id::INT AS chunk_id,
+           array_to_string(ct, ' ') AS chunk_text,
+           len(ct)::BIGINT AS chunk_tokens
+         FROM chunks""",
     // PII scrub: patterns restricted to the Java∩RE2 regex subset so the
     // replace/count semantics match byte-for-byte; 'g' flag because DuckDB
     // regexp_replace is first-match-only by default (Spark replaces all)

@@ -87,4 +87,42 @@ object PackOps {
       .withColumn("bin_id", expr(s"start_token div ${budget}L"))
       .select(col(idCol), col("n_tokens"), col("start_token"), col("bin_id"))
   }
+
+  /** Sliding-window document chunking: split each document's token stream
+    * into chunks of `chunkTokens` tokens advancing by `chunkTokens -
+    * overlap` — the context-window preparation step that PRECEDES
+    * [[packSequences]] for documents longer than one window.
+    *
+    * Chunk count per doc: `max(1, ceil((n - overlap) / step))` in exact
+    * integer arithmetic (no float division anywhere — the oracle must
+    * hash-match); the last chunk may be short. Empty documents (zero
+    * tokens after filtering) produce no chunks.
+    *
+    * Scale shape: narrow — one projection, one explode; no shuffle at all.
+    * The token array is materialized once before slicing (the text_ngrams
+    * higher-order-lambda lesson). */
+  def chunkByTokenBudget(documents: DataFrame, chunkTokens: Int = 32,
+      overlap: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap,
+      s"need chunkTokens > overlap >= 0, got ($chunkTokens, $overlap)")
+    val step = chunkTokens - overlap
+    val toksC = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+      w => length(w) > 0)
+    documents.select(col(idCol), toksC.as("__t"))
+      .select(col(idCol), col("__t"),
+        size(col("__t")).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__t"), col("__n"),
+        explode(sequence(lit(0L),
+          greatest(lit(1L),
+            expr(s"(__n - $overlap + ${step - 1}) div $step")) - 1))
+          .as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("int").as("chunk_id"),
+        concat_ws(" ", slice(col("__t"),
+          (col("chunk_id") * step + 1).cast("int"), lit(chunkTokens)))
+          .as("chunk_text"),
+        least(lit(chunkTokens.toLong),
+          col("__n") - col("chunk_id") * step).as("chunk_tokens"))
+  }
 }

@@ -240,6 +240,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out.sameElements(again))
   }
 
+  test("chunking: hand-computed windows, overlap, short tail, empty doc") {
+    import spark.implicits._
+    val words = (1 to 33).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, words), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val out = PackOps.chunkByTokenBudget(df, chunkTokens = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_id").collect()
+    // doc1: n=33, step=24 -> ceil(25/24)=2 chunks: [1..32], [25..33]
+    // doc2: n=3 -> 1 chunk; doc3: empty -> none
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSeq ==
+      Seq((1L, 0, 32L), (1L, 1, 9L), (2L, 0, 3L)))
+    assert(out(0).getString(2).startsWith("w1 w2 ") &&
+      out(0).getString(2).endsWith(" w32"))
+    assert(out(1).getString(2) == (25 to 33).map(i => s"w$i").mkString(" "))
+    assert(out(2).getString(2) == "a b c")
+    intercept[IllegalArgumentException](
+      PackOps.chunkByTokenBudget(df, chunkTokens = 8, overlap = 8))
+  }
+
   test("winnowing: shared long substrings share fingerprints") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"
     val b = "INTRO " + a + " OUTRO padding text here"
