@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Diagnostic main: over-cap LSH bucket census at a given sfDir — produced
+  * the measured recall attribution documented at [[DedupOps.MAX_BUCKET]]
+  * and in BENCH.md ("Oracle coverage at bench scale").
+  *
+  * Usage: Test/runMain graft.ops.BucketProbe [/root/testdata/sf0.1]
+  */
+object BucketProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.kg.KgPipeline.session("local[16]", 32)
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = spark.read.parquet(
+      args.headOption.getOrElse("/root/testdata/sf0.1") + "/documents.parquet")
+    val d = docs.select($"doc_id".cast("long"), $"text").as[(Long, String)]
+    val mh = d.flatMap { case (id, text) =>
+      val sig = DedupOps.minhashSig(DedupOps.wordShingles(text))
+      DedupOps.bandKeys(sig, DedupOps.NUM_BANDS, DedupOps.BAND_ROWS)
+        .iterator.map { case (b, h) => (id, b, h) }
+    }.toDF("doc_id", "band", "bandhash")
+      .groupBy("band", "bandhash").count()
+    println("MINHASH buckets>" + DedupOps.MAX_BUCKET + ": " +
+      mh.filter($"count" > DedupOps.MAX_BUCKET).count() +
+      " max=" + mh.agg(max($"count")).head().getLong(0))
+    val sh = d.map { case (id, t) => (id, DedupOps.simhash64(t)) }
+      .toDF("doc_id", "sig")
+      .select($"doc_id", explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright($"sig", b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
+        .as("bk"))
+      .groupBy($"bk.band", $"bk.key").count()
+    println("SIMHASH buckets>" + DedupOps.MAX_BUCKET + ": " +
+      sh.filter($"count" > DedupOps.MAX_BUCKET).count() +
+      " max=" + sh.agg(max($"count")).head().getLong(0))
+    spark.stop()
+  }
+}
