@@ -249,8 +249,7 @@ object SparkEntry {
             element_at(toks, i + 1), element_at(toks, i + 2))))
         .otherwise(array().cast("array<string>"))
       t(s, d, "documents")
-        .select(filter(split(lower(col("text")), "[^a-z0-9]+"),
-          w => length(w) > 0).as("toks"))
+        .select(TextOps.normTokens(col("text")).as("toks"))
         .select(explode(tris).as("ngram"))
         .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram").asc)

@@ -107,9 +107,7 @@ object PackOps {
     require(overlap >= 0 && chunkTokens > overlap,
       s"need chunkTokens > overlap >= 0, got ($chunkTokens, $overlap)")
     val step = chunkTokens - overlap
-    val toksC = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
-      w => length(w) > 0)
-    documents.select(col(idCol), toksC.as("__t"))
+    documents.select(col(idCol), TextOps.normTokens(col(textCol)).as("__t"))
       .select(col(idCol), col("__t"),
         size(col("__t")).cast("long").as("__n"))
       .filter(col("__n") > 0)

@@ -90,13 +90,21 @@ object TextOps {
   def matchCount(text: Column, pattern: String): Column =
     regexp_count(text, lit(pattern)).cast("long")
 
+  /** THE normalized word tokenizer (lowercase, split on non-alphanumeric
+    * runs, drop empties) — the single definition every tokenizing operator
+    * and query shares. Each DuckDB oracle mirrors it as
+    * `list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+    * x -> length(x) > 0)`; editing one side without the other breaks
+    * cross-engine hash parity for every query built on it. */
+  def normTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)
+
   /** Document fingerprint (md5 hex of the normalized token stream) —
     * deterministic content id for lineage/exact dedup. md5 (not xxhash64)
     * so the oracle engine computes the identical value; both are codegen'd
     * built-ins on the Spark side. */
   def fingerprint(text: Column): Column =
-    md5(concat_ws(" ",
-      filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)))
+    md5(concat_ws(" ", normTokens(text)))
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): rolling
     * polynomial hash over character k-grams, then the minimum hash of each
@@ -154,24 +162,28 @@ object TextOps {
     * in plain SQL. */
   def repetitionStats(documents: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toksC = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
-      w => length(w) > 0)
-    val base = documents.select(col(idCol), toksC.as("__toks"))
-      .select(col(idCol), col("__toks"),
-        size(col("__toks")).cast("long").as("total_words"),
-        size(array_distinct(col("__toks"))).cast("long").as("distinct_words"))
+    // ONE scan, no join: the per-doc counters ride the two aggregations as
+    // grouping keys. explode_outer keeps <2-token docs (null bigram row,
+    // excluded from the mode by nulling its count).
     val t = col("__toks")
-    val bigramCounts = base
-      .select(col(idCol), explode(when(size(t) >= 2,
-          transform(sequence(lit(1), size(t) - 1),
-            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-        .otherwise(array().cast("array<string>"))).as("bg"))
-      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("n"))
-    val top = bigramCounts.groupBy(col(idCol))
-      .agg(max(struct(col("n"), col("bg"))).as("m"))
-      .select(col(idCol), col("m.bg").as("top_bigram"),
-        col("m.n").as("top_bigram_n"))
-    base.drop("__toks").join(top, Seq(idCol), "left")
+    documents.select(col(idCol), normTokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        size(t).cast("long").as("total_words"),
+        size(array_distinct(t)).cast("long").as("distinct_words"),
+        explode_outer(when(size(t) >= 2,
+            transform(sequence(lit(1), size(t) - 1),
+              i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+      .groupBy(col(idCol), col("total_words"), col("distinct_words"),
+        col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol), col("total_words"), col("distinct_words"))
+      .agg(max(struct(
+        when(col("bg").isNull, lit(null).cast("long")).otherwise(col("n"))
+          .as("n"),
+        col("bg"))).as("m"))
+      .select(col(idCol), col("total_words"), col("distinct_words"),
+        col("m.bg").as("top_bigram"), col("m.n").as("top_bigram_n"))
   }
 
   /** Winnowing fingerprints per document: (doc_id, fingerprint) rows —

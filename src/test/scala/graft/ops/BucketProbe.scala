@@ -22,9 +22,12 @@ object BucketProbe {
         .iterator.map { case (b, h) => (id, b, h) }
     }.toDF("doc_id", "band", "bandhash")
       .groupBy("band", "bandhash").count()
+    // one action per census: over-cap count and max in a single agg
+    val mhr = mh.agg(
+      sum(when($"count" > DedupOps.MAX_BUCKET, 1L).otherwise(0L)),
+      max($"count")).head()
     println("MINHASH buckets>" + DedupOps.MAX_BUCKET + ": " +
-      mh.filter($"count" > DedupOps.MAX_BUCKET).count() +
-      " max=" + mh.agg(max($"count")).head().getLong(0))
+      mhr.getLong(0) + " max=" + mhr.getLong(1))
     val sh = d.map { case (id, t) => (id, DedupOps.simhash64(t)) }
       .toDF("doc_id", "sig")
       .select($"doc_id", explode(array((0 until 4).map(b =>
@@ -32,9 +35,11 @@ object BucketProbe {
           shiftright($"sig", b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
         .as("bk"))
       .groupBy($"bk.band", $"bk.key").count()
+    val shr = sh.agg(
+      sum(when($"count" > DedupOps.MAX_BUCKET, 1L).otherwise(0L)),
+      max($"count")).head()
     println("SIMHASH buckets>" + DedupOps.MAX_BUCKET + ": " +
-      sh.filter($"count" > DedupOps.MAX_BUCKET).count() +
-      " max=" + sh.agg(max($"count")).head().getLong(0))
+      shr.getLong(0) + " max=" + shr.getLong(1))
     spark.stop()
   }
 }

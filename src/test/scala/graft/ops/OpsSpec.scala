@@ -243,13 +243,18 @@ class OpsSpec extends AnyFunSuite {
   test("chunking: hand-computed windows, overlap, short tail, empty doc") {
     import spark.implicits._
     val words = (1 to 33).map(i => s"w$i").mkString(" ")
-    val df = Seq((1L, words), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val exact = (1 to 56).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, words), (2L, "a b c"), (3L, ""), (4L, exact))
+      .toDF("doc_id", "text")
     val out = PackOps.chunkByTokenBudget(df, chunkTokens = 32, overlap = 8)
       .orderBy("doc_id", "chunk_id").collect()
     // doc1: n=33, step=24 -> ceil(25/24)=2 chunks: [1..32], [25..33]
     // doc2: n=3 -> 1 chunk; doc3: empty -> none
+    // doc4: n=56 -> (56-8)/24 = EXACTLY 2 chunks [1..32],[25..56] — the
+    // divisible boundary where an off-by-one ceil would emit a third,
+    // fully-overlapped chunk
     assert(out.map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSeq ==
-      Seq((1L, 0, 32L), (1L, 1, 9L), (2L, 0, 3L)))
+      Seq((1L, 0, 32L), (1L, 1, 9L), (2L, 0, 3L), (4L, 0, 32L), (4L, 1, 32L)))
     assert(out(0).getString(2).startsWith("w1 w2 ") &&
       out(0).getString(2).endsWith(" w32"))
     assert(out(1).getString(2) == (25 to 33).map(i => s"w$i").mkString(" "))
