@@ -261,6 +261,11 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2).getString(2) == "a b c")
     intercept[IllegalArgumentException](
       PackOps.chunkByTokenBudget(df, chunkTokens = 8, overlap = 8))
+    // the scale claim, as a hard plan property: chunking is narrow —
+    // zero Exchange operators in the physical plan
+    val plan = PackOps.chunkByTokenBudget(docs).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
   test("winnowing: shared long substrings share fingerprints") {
