@@ -233,6 +233,10 @@ object SparkEntry {
       // sliding-window chunking (32-token windows, 8-token overlap) —
       // context-window prep; narrow, no shuffle
       PackOps.chunkByTokenBudget(t(s, d, "documents"), 32, 8)),
+    "curate_sources" -> ((s, d) =>
+      // source-level composition + quality gate (domain filtering):
+      // threshold 150 chars splits the synthetic sources 17 kept / 3 not
+      TextOps.sourceStats(t(s, d, "documents"), shortChars = 150)),
     "text_ngrams" -> ((s, d) => {
       // corpus trigram counts (LM-statistics / contamination primitive):
       // explode → map-side-combined count → TakeOrdered top-100 with a
@@ -1299,6 +1303,13 @@ object SparkEntry {
            t.top_bigram, t.top_bigram_n
          FROM base b LEFT JOIN (SELECT * FROM top WHERE rn = 1) t
            USING (doc_id)""",
+    "curate_sources" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tokens,
+         sum(CASE WHEN length(text) < 150 THEN 1 ELSE 0 END)::BIGINT AS n_short,
+         (sum(CASE WHEN length(text) < 150 THEN 1 ELSE 0 END) * 4 <= count(*)) AS kept
+         FROM documents GROUP BY source""",
     // chunking: exact integer arithmetic only — ceil via (a + b - 1) // b,
     // 1-based inclusive list slicing on both sides
     "text_chunks" ->

@@ -106,6 +106,23 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", normTokens(text)))
 
+  /** Source-level corpus composition + quality gate (the domain-filtering
+    * step of web-corpus curation): per `source`, document/token totals and
+    * a short-document count; `kept` flags sources whose short-doc share is
+    * under 25% (exact integer comparison `n_short * 4 <= n_docs` — no
+    * float thresholds, oracle-hash stable).
+    *
+    * Scale shape: ONE map-side-combined aggregation on `source` (domain
+    * cardinality ≪ corpus size); downstream keeps documents via a
+    * broadcast semi-join on the kept sources. */
+  def sourceStats(documents: DataFrame, shortChars: Int = 50): DataFrame =
+    documents.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col("text"))).as("n_tokens"),
+      sum(when(length(col("text")) < shortChars, 1L).otherwise(0L))
+        .as("n_short"))
+      .withColumn("kept", col("n_short") * 4 <= col("n_docs"))
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): rolling
     * polynomial hash over character k-grams, then the minimum hash of each
     * sliding window of `w` k-gram hashes (rightmost-min tie-break). The

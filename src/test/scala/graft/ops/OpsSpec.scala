@@ -268,6 +268,22 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("source stats: composition counters and the integer quality gate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "one two three four five six seven eight nine ten chars ok", "a"),
+      (2L, "also a long enough document with plenty of characters here", "a"),
+      (3L, "short", "b"), (4L, "tiny", "b"), (5L, "ok but still short", "b"),
+      (6L, "this b document is long enough to clear the short threshold", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceStats(df, shortChars = 30)
+      .orderBy("source").collect()
+    // a: 2 docs, 0 short -> kept; b: 4 docs, 3 short -> 12 > 4 -> dropped
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+      r.getBoolean(4))).toSeq == Seq(("a", 2L, 0L, true), ("b", 4L, 3L, false)))
+    assert(out(0).getLong(2) == 12L + 10L) // exact token sum for source a
+  }
+
   test("winnowing: shared long substrings share fingerprints") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"
     val b = "INTRO " + a + " OUTRO padding text here"
