@@ -43,13 +43,11 @@ object DedupOps {
     *    (max bucket 4) — the 3 missing pairs are inherent banded-LSH
     *    near-threshold recall (P[share a band] = 1-(1-s^r)^b < 1 just
     *    above the Jaccard threshold), NOT cap loss;
-    *  - simhash: 1,430/2,059 pairs (69%) with 27 buckets over the cap
-    *    (max 240) on this deliberately tiny synthetic vocabulary — the
-    *    cap breaks the 4-band pigeonhole guarantee for pairs whose only
-    *    agreeing band is hot. The drop count is observable per run via
-    *    the `observe()` metric below; a deployment that needs full
-    *    boilerplate-clique recall raises the cap or clusters hot buckets
-    *    by chaining instead of pairing.
+    *  - simhash (round 5): pair recall 100% (was 69%) — [[simhashDedup]]
+    *    bands DISTINCT signatures and re-keys over-cap buckets on wider
+    *    sub-band keys instead of truncating them (see its scaladoc); the
+    *    27 over-cap primary buckets at sf0.1 (max 237 distinct sigs) all
+    *    resolve under the cap at the sub-band level.
     * The sf0.01 driver-oracle corpus has no bucket near the cap
     * (precondition test in OpsSpec), so the hash-exact gate is unaffected. */
   val MAX_BUCKET = 64
@@ -180,8 +178,37 @@ object DedupOps {
     sig
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= maxHamming, blocked on
-    * 4×16-bit bands (any pair within Hamming 3 shares >=1 intact band). */
+  /** Per-distinct-signature membership cap for [[simhashDedup]]'s exact
+    * clique-pair path. A clique of k byte-identical boilerplate documents has
+    * k identical signatures and its all-pairs output is k(k-1)/2 rows —
+    * output-quadratic by definition of "emit every near-dup pair". The cap
+    * bounds that to CLIQUE_CAP²/2 pairs per clique; drops are observable via
+    * the `simhash_clique_cap` metric. */
+  val CLIQUE_CAP = 1024
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
+    *
+    * Hamming distance is a pure function of the two 64-bit signatures, so the
+    * pair search runs over DISTINCT signatures, not documents:
+    *
+    *  1. group documents by signature (one shuffle, map-side partials). A
+    *     clique of identical documents collapses to ONE banding row — the
+    *     hot-bucket blowup a tiny/boilerplate vocabulary causes when banding
+    *     per-document (measured round 4: 27 over-cap buckets, 69% pair recall
+    *     at sf0.1) disappears structurally instead of being cap-dropped;
+    *  2. intra-clique pairs (hamming 0) are emitted exactly from the
+    *     signature groups, capped at [[CLIQUE_CAP]] members (observed);
+    *  3. banded LSH (4×16-bit bands; pigeonhole: hamming<=3 pairs share >=1
+    *     intact band) finds DISTINCT-SIG pairs at hamming 1..maxHamming;
+    *     buckets over [[MAX_BUCKET]] are re-keyed on wider sub-band keys
+    *     (Manku et al., WWW'07) with full in-bucket recall instead of being
+    *     truncated — see the inline comment at the banding step;
+    *  4. signature pairs expand back to document pairs through the clique
+    *     membership table (output-sized joins on sig).
+    *
+    * Round-5 census ([[BucketProbe]], sf0.1, 5,000 docs): pair recall vs the
+    * exact all-pairs answer went 69% → 100%; the 27 over-cap primary
+    * buckets (max 237) all resolve under the cap at the sub-band level. */
   def simhashDedup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -190,24 +217,83 @@ object DedupOps {
       .map { case (id, t) => (id, simhash64(t)) }
       .toDF("doc_id", "sig")
 
-    val bandedRaw = sigs.select($"doc_id", $"sig",
+    // Capped clique membership: deterministic lowest-doc_id keep set per
+    // distinct signature; _rn == 1 row is the clique representative.
+    val w = Window.partitionBy($"sig").orderBy($"doc_id")
+    val members = sigs.withColumn("_rn", row_number().over(w))
+      .observe("simhash_clique_cap",
+        sum(when($"_rn" > CLIQUE_CAP, 1L).otherwise(0L)).as("dropped_rows"))
+      .filter($"_rn" <= CLIQUE_CAP)
+
+    // Hamming-0 pairs: all pairs within each identical-signature clique.
+    val cliquePairs = members.as("l").join(members.as("r"),
+        $"l.sig" === $"r.sig" && $"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id".as("a"), $"r.doc_id".as("b"), lit(0).as("hamming"))
+
+    // Banded LSH over DISTINCT signatures only. Buckets over MAX_BUCKET are
+    // NOT truncated: their members are re-keyed on a wider key — the primary
+    // 16-bit band PLUS a 12-bit sub-band of the remaining 48 bits (the
+    // Manku/Jain/Das Sarma WWW'07 refinement: more blocks, wider keys,
+    // exponentially cooler buckets). A hamming<=maxHamming(<=3) pair that
+    // agrees on the primary band has ALL its flips in the other 48 bits, so
+    // pigeonhole over the 4 sub-bands leaves >=1 sub-band intact: the hot
+    // bucket keeps FULL pair recall at O(n·cap) join cost instead of the
+    // round-4 cap cliff. Only sub-buckets that are still over the cap drop
+    // rows (observed via `simhash_lsh_subbucket_cap`).
+    val reps = members.filter($"_rn" === 1).select($"doc_id".as("rep"), $"sig")
+    val bandedRaw = reps.select($"rep", $"sig",
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright($"sig", b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
-      .select($"doc_id", $"sig", $"bk.band", $"bk.key")
+      .select($"rep", $"sig", $"bk.band", $"bk.key")
+    val sized = bandedRaw.withColumn("_n",
+      count(lit(1)).over(Window.partitionBy($"band", $"key")))
 
-    val banded = capBuckets(bandedRaw, Seq("band", "key"), "doc_id",
-      MAX_BUCKET, "simhash_lsh_bucket_cap")
-
-    val pairs = banded.as("l").join(banded.as("r"),
+    val cool = sized.filter($"_n" <= MAX_BUCKET).drop("_n")
+    val coolPairs = cool.as("l").join(cool.as("r"),
         $"l.band" === $"r.band" && $"l.key" === $"r.key" &&
-          $"l.doc_id" < $"r.doc_id")
-      .select($"l.doc_id".as("a"), $"r.doc_id".as("b"),
-        $"l.sig".as("sa"), $"r.sig".as("sb")).distinct()
+          $"l.rep" < $"r.rep")
+      .select($"l.sig".as("sa"), $"r.sig".as("sb"))
 
-    pairs
+    // 48-bit signature remainder with the primary band's 16 bits removed.
+    val rem = (0 until 4).map { b =>
+      val low =
+        if (b == 0) lit(0L) else $"sig".bitwiseAND(lit((1L << (b * 16)) - 1))
+      val high =
+        if (b == 3) lit(0L)
+        else shiftleft(shiftrightunsigned($"sig", (b + 1) * 16), b * 16)
+      (b, low.bitwiseOR(high))
+    }.foldLeft(lit(0L)) { case (acc, (b, v)) => when($"band" === b, v).otherwise(acc) }
+
+    val hotSub = sized.filter($"_n" > MAX_BUCKET).drop("_n")
+      .withColumn("_rem", rem)
+      .select($"rep", $"sig", $"band", $"key",
+        explode(array((0 until 4).map(s =>
+          struct(lit(s).as("sub"),
+            shiftrightunsigned($"_rem", s * 12).bitwiseAND(lit(0xFFFL))
+              .as("subkey"))): _*)).as("sk"))
+      .select($"rep", $"sig", $"band", $"key", $"sk.sub", $"sk.subkey")
+    val hotCapped = capBuckets(hotSub, Seq("band", "key", "sub", "subkey"),
+      "rep", MAX_BUCKET, "simhash_lsh_subbucket_cap")
+    val hotPairs = hotCapped.as("l").join(hotCapped.as("r"),
+        $"l.band" === $"r.band" && $"l.key" === $"r.key" &&
+          $"l.sub" === $"r.sub" && $"l.subkey" === $"r.subkey" &&
+          $"l.rep" < $"r.rep")
+      .select($"l.sig".as("sa"), $"r.sig".as("sb"))
+
+    val sigPairs = coolPairs.unionByName(hotPairs).distinct()
       .withColumn("hamming", bit_count($"sa".bitwiseXOR($"sb")))
-      .filter($"hamming" <= maxHamming)
+      .filter($"hamming" <= maxHamming) // hamming >= 1 here: sa != sb
+
+    // Expand signature pairs to document pairs (unique: a doc pair maps to
+    // exactly one unordered sig pair, so no post-union distinct is needed).
+    val expanded = sigPairs
+      .join(members.select($"sig".as("sa"), $"doc_id".as("da")), "sa")
+      .join(members.select($"sig".as("sb"), $"doc_id".as("db")), "sb")
+      .select(least($"da", $"db").as("a"), greatest($"da", $"db").as("b"),
+        $"hamming")
+
+    cliquePairs.unionByName(expanded)
       .select($"a", $"b", $"hamming".cast("long").as("hamming"))
   }
 

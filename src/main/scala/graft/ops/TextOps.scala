@@ -169,38 +169,50 @@ object TextOps {
     * strings (oracle-hash stable); the repetition fractions
     * (1 - distinct/total, 2*top_bigram_n/total) are derivable downstream.
     *
-    * Scale shape: the per-doc counters are a narrow codegen'd projection
-    * (token array materialized ONCE before the higher-order lambda — the
-    * text_ngrams lesson); the bigram mode is one explode +
-    * map-side-combined (doc, bigram) count + one per-doc max — both
-    * aggregations shuffle on keys that grow with the corpus, never
-    * collect. Tie-break: max(struct(n, bigram)) = highest count, then
-    * lexicographically greatest bigram — deterministic and reproducible
-    * in plain SQL. */
+    * Scale shape: the modal bigram is a pure per-row function of the token
+    * array, so the whole statistic is ONE narrow typed map (the
+    * [[winnowFingerprints]] pattern) — zero shuffle, plan-asserted
+    * no-Exchange in OpsSpec. The round-4 version exploded bigrams through
+    * TWO corpus-scale aggregations for what is a per-document counter; at
+    * 100 TB that was two avoidable full-corpus shuffles. Tie-break:
+    * highest count, then lexicographically greatest bigram (tokens are
+    * [a-z0-9 ]-only post-normalization, so JVM string order = the UTF-8
+    * binary order the SQL oracle's max(struct(n, bg)) uses) —
+    * deterministic and reproducible in plain SQL. */
   def repetitionStats(documents: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // ONE scan, no join: the per-doc counters ride the two aggregations as
-    // grouping keys. explode_outer keeps <2-token docs (null bigram row,
-    // excluded from the mode by nulling its count).
-    val t = col("__toks")
-    documents.select(col(idCol), normTokens(col(textCol)).as("__toks"))
-      .select(col(idCol),
-        size(t).cast("long").as("total_words"),
-        size(array_distinct(t)).cast("long").as("distinct_words"),
-        explode_outer(when(size(t) >= 2,
-            transform(sequence(lit(1), size(t) - 1),
-              i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-          .otherwise(array().cast("array<string>"))).as("bg"))
-      .groupBy(col(idCol), col("total_words"), col("distinct_words"),
-        col("bg"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy(col(idCol), col("total_words"), col("distinct_words"))
-      .agg(max(struct(
-        when(col("bg").isNull, lit(null).cast("long")).otherwise(col("n"))
-          .as("n"),
-        col("bg"))).as("m"))
-      .select(col(idCol), col("total_words"), col("distinct_words"),
-        col("m.bg").as("top_bigram"), col("m.n").as("top_bigram_n"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        // EXACTLY normTokens: lowercase, split non-[a-z0-9] runs, drop empties
+        val toks = (if (text == null) "" else text)
+          .toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        val total = toks.length.toLong
+        val distinct = toks.distinct.length.toLong
+        if (toks.length < 2) (id, total, distinct, None: Option[String], None: Option[Long])
+        else {
+          val counts = new java.util.HashMap[String, Long](toks.length * 2)
+          var i = 0
+          while (i < toks.length - 1) {
+            val bg = toks(i) + " " + toks(i + 1)
+            counts.put(bg, counts.getOrDefault(bg, 0L) + 1L)
+            i += 1
+          }
+          var bestBg: String = null
+          var bestN = 0L
+          counts.forEach { (bg, n) =>
+            if (n > bestN || (n == bestN && bg.compareTo(bestBg) > 0)) {
+              bestBg = bg; bestN = n
+            }
+          }
+          (id, total, distinct, Some(bestBg), Some(bestN))
+        }
+      }
+      .toDF(idCol, "total_words", "distinct_words", "top_bigram",
+        "top_bigram_n")
   }
 
   /** Winnowing fingerprints per document: (doc_id, fingerprint) rows —

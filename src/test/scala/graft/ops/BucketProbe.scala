@@ -28,9 +28,11 @@ object BucketProbe {
       max($"count")).head()
     println("MINHASH buckets>" + DedupOps.MAX_BUCKET + ": " +
       mhr.getLong(0) + " max=" + mhr.getLong(1))
-    val sh = d.map { case (id, t) => (id, DedupOps.simhash64(t)) }
+    // simhashDedup bands DISTINCT signatures (round 5) — census that shape.
+    val sigs = d.map { case (id, t) => (id, DedupOps.simhash64(t)) }
       .toDF("doc_id", "sig")
-      .select($"doc_id", explode(array((0 until 4).map(b =>
+    val sh = sigs.select($"sig").distinct()
+      .select(explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright($"sig", b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
         .as("bk"))
@@ -38,8 +40,24 @@ object BucketProbe {
     val shr = sh.agg(
       sum(when($"count" > DedupOps.MAX_BUCKET, 1L).otherwise(0L)),
       max($"count")).head()
-    println("SIMHASH buckets>" + DedupOps.MAX_BUCKET + ": " +
+    println("SIMHASH distinct-sig buckets>" + DedupOps.MAX_BUCKET + ": " +
       shr.getLong(0) + " max=" + shr.getLong(1))
+    // Pair recall vs the exact all-pairs answer (diagnostic scale: the sig
+    // table is corpus-row-sized; the all-pairs loop runs on the driver).
+    val sigArr = sigs.as[(Long, Long)].collect()
+    var truth = 0L
+    var i2 = 0
+    while (i2 < sigArr.length) {
+      var j = i2 + 1
+      while (j < sigArr.length) {
+        if (java.lang.Long.bitCount(sigArr(i2)._2 ^ sigArr(j)._2) <= 3) truth += 1
+        j += 1
+      }
+      i2 += 1
+    }
+    val found = DedupOps.simhashDedup(docs, 3).count()
+    println(f"SIMHASH pair recall: $found/$truth = ${
+      if (truth == 0) 1.0 else found.toDouble / truth}%.4f")
     spark.stop()
   }
 }

@@ -134,11 +134,46 @@ class OpsSpec extends AnyFunSuite {
     assert(minhashMax < DedupOps.MAX_BUCKET,
       s"minhash bucket $minhashMax nears cap ${DedupOps.MAX_BUCKET}: all-pairs oracles no longer sound")
 
-    val simhashMax = corpus.map { case (_, t) => DedupOps.simhash64(t) }
+    // simhashDedup bands DISTINCT signatures and caps identical-sig cliques
+    // (round 5) — its all-pairs-oracle preconditions are those two shapes.
+    val simSigs = corpus.map { case (_, t) => DedupOps.simhash64(t) }
+    val cliqueMax = simSigs.groupByKey(identity).count().map(_._2).reduce(math.max)
+    assert(cliqueMax < DedupOps.CLIQUE_CAP,
+      s"simhash clique $cliqueMax nears cap ${DedupOps.CLIQUE_CAP}")
+    val simhashMax = simSigs.distinct()
       .flatMap(sig => (0 until 4).iterator.map(b => (b, (sig >>> (b * 16)) & 0xFFFFL)))
       .groupByKey(identity).count().map(_._2).reduce(math.max)
     assert(simhashMax < DedupOps.MAX_BUCKET,
-      s"simhash bucket $simhashMax nears cap ${DedupOps.MAX_BUCKET}")
+      s"simhash distinct-sig bucket $simhashMax nears cap ${DedupOps.MAX_BUCKET}")
+  }
+
+  test("simhash hot bucket: identical-sig clique above the bucket cap keeps full pair recall") {
+    import spark.implicits._
+    // 100 byte-identical docs = one signature clique far above MAX_BUCKET=64.
+    // Round-4 per-document banding kept only the first 64 bucket members, so
+    // docs 65..100 lost every pair (the measured 69%-recall cliff at sf0.1).
+    // The distinct-signature design must emit all C(100,2) hamming-0 pairs
+    // and pair a near-duplicate (hamming 1..3) with EVERY clique member.
+    val boilerText = "the same boilerplate cookie banner text repeated on " +
+      "every single page of this website"
+    val n = 100
+    val boiler = spark.range(0, n.toLong)
+      .select(($"id" + 1000L).as("doc_id"), lit(boilerText).as("text"))
+    val baseSig = DedupOps.simhash64(boilerText)
+    val near = (1 to 500).iterator.map(i => boilerText + " tok" + i)
+      .find { t =>
+        val h = java.lang.Long.bitCount(DedupOps.simhash64(t) ^ baseSig)
+        h >= 1 && h <= 3
+      }
+    assert(near.isDefined, "no deterministic perturbation with hamming 1..3 found")
+    val corpus = boiler.unionByName(Seq((5000L, near.get)).toDF("doc_id", "text"))
+    val pairs = DedupOps.simhashDedup(corpus, 3).collect()
+    val cliquePairs = pairs.count(r => r.getLong(0) < 5000 && r.getLong(1) < 5000)
+    assert(cliquePairs == n * (n - 1) / 2,
+      s"clique pairs $cliquePairs != ${n * (n - 1) / 2}")
+    val nearPairs = pairs.count(r => r.getLong(1) == 5000L)
+    assert(nearPairs == n, s"near-dup paired with $nearPairs of $n clique members")
+    assert(pairs.length == n * (n - 1) / 2 + n)
   }
 
   test("IVF training is run-to-run deterministic (fixed-point accumulation)") {
@@ -238,6 +273,11 @@ class OpsSpec extends AnyFunSuite {
     // determinism under re-evaluation (shuffle order independence)
     val again = TextOps.repetitionStats(df).orderBy("doc_id").collect()
     assert(out.sameElements(again))
+    // the scale claim, as a hard plan property (round 5): the statistic is
+    // a per-row map — zero Exchange operators in the physical plan
+    val plan = TextOps.repetitionStats(docs).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
   test("chunking: hand-computed windows, overlap, short tail, empty doc") {
