@@ -53,6 +53,8 @@ class TurtleDataSource extends TableProvider with DataSourceRegister {
         .getOrElse(TurtleDataSource.DEFAULT_MAX_BYTES),
       opts.get("minagems").orElse(opts.get("minAgeMs")).map(_.toLong)
         .getOrElse(0L),
+      opts.get("compacttail").orElse(opts.get("compactTail")).map(_.toInt)
+        .getOrElse(TurtleMicroBatchStream.DEFAULT_COMPACT_TAIL),
       schema)
   }
 }
@@ -79,7 +81,12 @@ object TurtleDataSource {
     * non-atomically (a file picked up mid-copy would parse truncated AND
     * be permanently marked seen by the streaming offset). Producers that
     * write-then-rename atomically (the usual landing protocol, and what
-    * Spark's own file sources require) can leave this 0. */
+    * Spark's own file sources require) can leave this 0.
+    *
+    * Paths with a `_`- or `.`-prefixed segment under the root are skipped
+    * (Spark's hidden-file convention) — in particular the sink's
+    * `_temporary/<jobTag>/` staging area, so a concurrent write's staged
+    * files are never read (and never half-read mid-job). */
   def listTtlFiles(root: String, minAgeMs: Long): Seq[String] = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
@@ -91,16 +98,31 @@ object TurtleDataSource {
     val status = fs.getFileStatus(path)
     if (status.isFile) Seq(path.toString)
     else {
+      val qualRoot = fs.makeQualified(path)
       val out = Vector.newBuilder[String]
       val it = fs.listFiles(path, true)
       while (it.hasNext) {
         val f = it.next()
         if (f.isFile && f.getPath.getName.endsWith(".ttl") &&
-            f.getModificationTime <= cutoff)
+            f.getModificationTime <= cutoff &&
+            !hiddenUnder(f.getPath, qualRoot))
           out += f.getPath.toString
       }
       out.result().sorted
     }
+  }
+
+  /** True if any path segment strictly below `root` (the file name included)
+    * starts with `_` or `.` — Spark's convention for metadata/staging. */
+  private[sources] def hiddenUnder(p: org.apache.hadoop.fs.Path,
+      root: org.apache.hadoop.fs.Path): Boolean = {
+    var cur = p
+    while (cur != null && cur != root && cur.toString.length > root.toString.length) {
+      val n = cur.getName
+      if (n.startsWith("_") || n.startsWith(".")) return true
+      cur = cur.getParent
+    }
+    false
   }
 
   /** Default per-file size gate (bytes). 64 MiB of Turtle is already ~10^6
@@ -152,7 +174,7 @@ object TurtleDataSource {
 }
 
 private class TurtleTable(path: String, maxBytes: Long, minAgeMs: Long,
-    tableSchema: StructType)
+    compactTail: Int, tableSchema: StructType)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"turtle($path)"
@@ -169,7 +191,7 @@ private class TurtleTable(path: String, maxBytes: Long, minAgeMs: Long,
     require(tableSchema == TurtleDataSource.SCHEMA,
       "the turtle READER does not support user-specified schemas; " +
         "read the fixed triple schema and select/cast from it")
-    new TurtleScanBuilder(path, maxBytes, minAgeMs)
+    new TurtleScanBuilder(path, maxBytes, minAgeMs, compactTail)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -178,19 +200,23 @@ private class TurtleTable(path: String, maxBytes: Long, minAgeMs: Long,
 }
 
 private class TurtleScanBuilder(path: String, maxBytes: Long,
-    minAgeMs: Long = 0L) extends ScanBuilder {
-  override def build(): Scan = new TurtleScan(path, maxBytes, minAgeMs)
+    minAgeMs: Long = 0L,
+    compactTail: Int = TurtleMicroBatchStream.DEFAULT_COMPACT_TAIL)
+    extends ScanBuilder {
+  override def build(): Scan = new TurtleScan(path, maxBytes, minAgeMs, compactTail)
 }
 
-private class TurtleScan(path: String, maxBytes: Long, minAgeMs: Long = 0L)
+private class TurtleScan(path: String, maxBytes: Long, minAgeMs: Long = 0L,
+    compactTail: Int = TurtleMicroBatchStream.DEFAULT_COMPACT_TAIL)
     extends Scan with Batch {
   override def readSchema(): StructType = TurtleDataSource.SCHEMA
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    // stateless: the offset itself carries the seen-file set, so the
-    // checkpoint location needs no source-private files
-    new TurtleMicroBatchStream(path, maxBytes, minAgeMs)
+    // offsets resolve against the compacting seen-files registry kept
+    // under <checkpointLocation>/graft-registry (see TurtleMicroBatchStream)
+    new TurtleMicroBatchStream(path, maxBytes, minAgeMs, checkpointLocation,
+      compactTail)
   override def planInputPartitions(): Array[InputPartition] =
     TurtleDataSource.listTtlFiles(path)
       .map(f => TurtleFilePartition(f): InputPartition).toArray
