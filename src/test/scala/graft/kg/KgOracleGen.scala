@@ -38,8 +38,11 @@ import scala.jdk.CollectionConverters._
   *   - kg_turtle_source: fixture-corpus rows vs the frozen refgen TSVs.
   *   - kg_link / kg_entity_mentions: linking has no reference counterpart
   *     (harriet is a grammar, not a linker) — the mention SET is anchored
-  *     to the reference's triples; the link decisions are a frozen snapshot
-  *     of semantics proven local≡distributed in EntityLinkingSpec.
+  *     to the reference's triples; the EXACT-match decisions are DERIVED
+  *     inside the oracle SQL (normalize + dictionary equi-join in DuckDB,
+  *     triple-checked at emit by a local recomputation); only the LSH
+  *     fallback rows are a pinned snapshot of semantics proven
+  *     local≡distributed in EntityLinkingSpec.
   *
   * Usage:
   * {{{
@@ -138,7 +141,23 @@ object KgOracleGen {
     mode match {
       case "dump" => dump(workDir)
       case "emit" => emit(workDir)
-      case other  => sys.error(s"unknown mode $other (dump|emit)")
+      // linking-only regeneration: the two linking oracles depend on no
+      // refgen artifacts (their anchored half is the mention triple set,
+      // whose parity is asserted by the full emit chain / CI sync spec)
+      case "linking" =>
+        val outDir = Paths.get("src/main/resources/graft/oracles")
+        Files.createDirectories(outDir)
+        val spark = org.apache.spark.sql.SparkSession.builder()
+          .master("local[8]")
+          .config("spark.sql.shuffle.partitions", 8)
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        try linkingSqls(spark).toSeq.sortBy(_._1).foreach { case (n, s) =>
+          Files.write(outDir.resolve(s"$n.sql"), s.getBytes(StandardCharsets.UTF_8))
+          println(f"wrote $n%-22s ${s.length}%9d bytes")
+        } finally spark.stop()
+      case other  => sys.error(s"unknown mode $other (dump|emit|linking)")
     }
   }
 
@@ -394,29 +413,93 @@ object KgOracleGen {
       rows.result())
   }
 
-  /** kg_link + kg_entity_mentions: run the actual Spark queries once and
-    * freeze their output. The mention SET is re-anchored to the reference's
-    * triples upstream (the mention triples ride the same per-block parity
-    * asserts); the link DECISIONS are graft semantics with no reference
-    * counterpart — proven local≡distributed in the linking specs, frozen
-    * here as a regression pin. */
+  /** kg_link + kg_entity_mentions (round-4 VERDICT #4 / ADVICE #1: make
+    * the exact-match decisions independently derived, not self-snapshot).
+    *
+    * The oracle SQL now COMPUTES the exact phase inside DuckDB: mentions
+    * (VALUES — anchored to the reference's triples via the per-block parity
+    * asserts upstream) equi-joined against the dictionary (VALUES — a pure
+    * driver-side function of the corpus spec, built here WITHOUT Spark) on
+    * the normalization `lower → non-alnum→space → collapse → trim`,
+    * re-expressed as DuckDB regexes. Only the `method='lsh'` fallback rows
+    * remain a pinned snapshot of graft's banded-MinHash semantics (no
+    * reference counterpart; proven local≡distributed in EntityLinkingSpec).
+    * kg_entity_mentions is a SQL GROUP BY over the same derivation — no
+    * pinned counts.
+    *
+    * The generator additionally re-derives the exact decisions locally
+    * (normalize + dictionary map, no EntityLinking join involved) and
+    * refuses to emit if Spark's exact rows differ — so the exact phase is
+    * checked three independent ways: this local recomputation at emit time,
+    * the DuckDB join at every driver compare, and the Spark plan itself. */
   def linkingSqls(spark: org.apache.spark.sql.SparkSession): Map[String, String] = {
     // NOT a filesystem path: the kg_* queries synthesize their corpus and
     // use the sfDir string only as a page-count selector
     // (PagesSource.countForSfDir substring match) — no IO, portable
     val sfDir = "sf0.01"
+    val mentionRows = EntityLinking.mentions(
+        TripleExtraction.run(PagesSource.pages(spark, PAGES)))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .sortBy(identity).toVector
+    val dictRows = PagesSource.dictionaryLocal
+      .sortBy(d => (d.surface, d.entity_iri)).toVector
     val linked = graft.SparkEntry.queries("kg_link")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
         r.getString(3))).sortBy(identity).toVector
-    val counts = graft.SparkEntry.queries("kg_entity_mentions")(spark, sfDir)
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toVector
-    Map(
-      "kg_link" -> valuesSql(
+
+    // emit-time independent re-derivation of the exact phase (pure local
+    // code, shares only `normalize` with the engine)
+    val dictByNorm = dictRows.groupBy(_.surface)
+    val exactLocal = mentionRows.flatMap { case (u, s) =>
+      dictByNorm.getOrElse(EntityLinking.normalize(s), Vector.empty)
+        .map(d => (u, s, d.entity_iri, "exact"))
+    }.sortBy(identity)
+    require(exactLocal == linked.filter(_._4 == "exact"),
+      "Spark kg_link exact-phase rows diverge from the local " +
+        "normalize+dictionary recomputation — refusing to emit the oracle")
+    val lsh = linked.filter(_._4 == "lsh")
+
+    val mentionsValues = valuesSql(
+      Seq("url" -> "VARCHAR", "surface" -> "VARCHAR"),
+      mentionRows.map { case (u, s) => Seq(sqlStr(u), sqlStr(s)) })
+    val dictValues = valuesSql(
+      Seq("surface" -> "VARCHAR", "entity_iri" -> "VARCHAR"),
+      dictRows.map(d => Seq(sqlStr(d.surface), sqlStr(d.entity_iri))))
+    val lshValues =
+      if (lsh.isEmpty)
+        "SELECT CAST(NULL AS VARCHAR) AS url, CAST(NULL AS VARCHAR) AS surface, " +
+          "CAST(NULL AS VARCHAR) AS entity_iri, CAST(NULL AS VARCHAR) AS method WHERE false"
+      else valuesSql(
         Seq("url" -> "VARCHAR", "surface" -> "VARCHAR",
           "entity_iri" -> "VARCHAR", "method" -> "VARCHAR"),
-        linked.map { case (u, s, e, m) => Seq(sqlStr(u), sqlStr(s), sqlStr(e), sqlStr(m)) }),
-      "kg_entity_mentions" -> valuesSql(
-        Seq("entity_iri" -> "VARCHAR", "n" -> "BIGINT"),
-        counts.map { case (e, n) => Seq(sqlStr(e), n.toString) }))
+        lsh.map { case (u, s, e, m) =>
+          Seq(sqlStr(u), sqlStr(s), sqlStr(e), sqlStr(m)) })
+    // EntityLinking.normalize for the synthetic (ASCII) surface vocabulary:
+    // lower, every non-alphanumeric run → one space, trim the ends
+    val norm =
+      "trim(regexp_replace(lower(m.surface), '[^a-z0-9]+', ' ', 'g'))"
+    val header =
+      """-- exact-method rows are DERIVED here (mentions × dictionary join on the
+        |-- normalization lower + non-alnum-runs→space + trim); mentions are anchored
+        |-- to the reference's triples upstream (KgOracleGen per-block parity), the
+        |-- dictionary is a pure function of the corpus spec. ONLY the lsh CTE is a
+        |-- pinned snapshot of graft's banded-MinHash fallback (no reference
+        |-- counterpart exists — harriet is a grammar, not a linker).
+        |""".stripMargin
+    val linkedCte =
+      s"""WITH mentions AS ($mentionsValues),
+         |dict AS ($dictValues),
+         |lsh AS ($lshValues),
+         |linked AS (
+         |SELECT m.url AS url, m.surface AS surface, d.entity_iri AS entity_iri,
+         |       CAST('exact' AS VARCHAR) AS method
+         |FROM mentions m JOIN dict d ON $norm = d.surface
+         |UNION ALL
+         |SELECT url, surface, entity_iri, method FROM lsh
+         |)""".stripMargin
+    Map(
+      "kg_link" -> (header + linkedCte + "\nSELECT * FROM linked"),
+      "kg_entity_mentions" -> (header + linkedCte +
+        "\nSELECT entity_iri, CAST(count(*) AS BIGINT) AS n FROM linked GROUP BY entity_iri"))
   }
 }
