@@ -147,26 +147,56 @@ private class TurtleBatchWrite(path: String, schema: StructType,
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     if (truncate && fs.exists(root)) {
-      val existing = fs.listStatus(root)
-      existing.filter(_.getPath.getName.endsWith(".ttl"))
-        .foreach(f => fs.delete(f.getPath, false))
+      // the reader lists .ttl RECURSIVELY (minus hidden/_ segments), so
+      // truncate must delete the same visible set — a top-level-only delete
+      // would leave subdirectory .ttl files to reappear on re-read
+      val qualRoot = fs.makeQualified(root)
+      val it = fs.listFiles(root, true)
+      val doomed = Vector.newBuilder[org.apache.hadoop.fs.Path]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".ttl") &&
+            !TurtleDataSource.hiddenUnder(f.getPath, qualRoot))
+          doomed += f.getPath
+      }
+      doomed.result().foreach(p => fs.delete(p, false))
     }
     fs.mkdirs(root)
-    messages.foreach { case TurtleCommitMessage(staged, partitionId) =>
-      val src = new org.apache.hadoop.fs.Path(staged)
-      val dst = new org.apache.hadoop.fs.Path(root,
-        f"part-$partitionId%05d-$jobTag.ttl")
-      if (fs.exists(dst)) fs.delete(dst, false) // retried commit leftover
-      if (!fs.rename(src, dst))
-        throw new java.io.IOException(s"turtle sink commit rename failed: $src -> $dst")
+    // one FS rename per partition: independent operations, and on an
+    // object store each is a round-trip — run them on a parallel stream
+    // (localSurfaceMap's pattern) so commit wall-time is ~renames/cores,
+    // not renames × latency. Failures propagate (job commit must fail).
+    val failed = new java.util.concurrent.atomic.AtomicReference[String](null)
+    java.util.Arrays.stream(messages).parallel().forEach {
+      case TurtleCommitMessage(staged, partitionId) =>
+        val src = new org.apache.hadoop.fs.Path(staged)
+        val dst = new org.apache.hadoop.fs.Path(root,
+          f"part-$partitionId%05d-$jobTag.ttl")
+        if (fs.exists(dst)) fs.delete(dst, false) // retried commit leftover
+        if (!fs.rename(src, dst)) failed.compareAndSet(null, s"$src -> $dst")
+      case _ => ()
     }
+    if (failed.get != null)
+      throw new java.io.IOException(
+        s"turtle sink commit rename failed: ${failed.get}")
     // only THIS job's staging subdir: concurrent jobs writing the same
     // directory each stage under _temporary/<jobTag>/ and must not see
     // their staged files wiped by another job's commit/abort
     fs.delete(new org.apache.hadoop.fs.Path(root, s"_temporary/$jobTag"), true)
-    // opportunistically drop the shared parent when empty (best-effort)
-    try fs.delete(new org.apache.hadoop.fs.Path(root, "_temporary"), false)
-    catch { case _: Exception => () }
+    // crashed jobs never reach commit/abort, so their _temporary/<jobTag>
+    // staging dirs would leak forever — sweep siblings old enough that no
+    // live job can still own them (bounded by staging-dir mtime)
+    val tmpParent = new org.apache.hadoop.fs.Path(root, "_temporary")
+    try {
+      if (fs.exists(tmpParent)) {
+        val cutoff = System.currentTimeMillis() - TurtleBatchWrite.STALE_STAGING_MS
+        fs.listStatus(tmpParent)
+          .filter(st => st.isDirectory && st.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+        // opportunistically drop the shared parent when empty (best-effort)
+        fs.delete(tmpParent, false)
+      }
+    } catch { case _: Exception => () }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -175,6 +205,13 @@ private class TurtleBatchWrite(path: String, schema: StructType,
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_temporary/$jobTag")
     tmp.getFileSystem(conf).delete(tmp, true)
   }
+}
+
+private object TurtleBatchWrite {
+  /** A `_temporary/<jobTag>` staging dir whose mtime is older than this is
+    * treated as a crashed job's leak and reaped at the next commit. One
+    * hour: far above any sane commit latency, far below "fills the disk". */
+  val STALE_STAGING_MS: Long = 60L * 60 * 1000
 }
 
 private case class TurtleCommitMessage(stagedPath: String, partitionId: Int)

@@ -140,6 +140,17 @@ object TurtleDataSource {
     * (the same document yields the same labels wherever it is stored —
     * re-reads after a move/copy stay joinable) while remaining globally
     * unique per distinct document; provenance stays in the `file` column.
+    *
+    * CONFLATION HAZARD (the deliberate trade of content-hashing): two
+    * DIFFERENT files with byte-identical text get IDENTICAL bnode labels,
+    * so a cross-file join/aggregation over `subj`/`obj_value` merges their
+    * blank nodes — strict RDF graph-merge semantics instead require blank
+    * nodes of separate documents to be standardized apart. Duplicate
+    * documents are near-universally dedup targets in this engine's
+    * pipelines (their triples are identical rows anyway), so the joinable
+    * labels are usually what you want; where strict standardize-apart
+    * semantics matter, disambiguate with the `file` column — e.g. group or
+    * join on `(file, subj)` for bnode-kind rows — or dedup files upstream.
     */
   def rowsForDocument(file: String, text: String): Iterator[Array[String]] = {
     val contentHash = graft.kg.PagesSource.fnv64(text)
