@@ -152,21 +152,35 @@ object Bench {
     // storm cancels in the ratio; superlinear pairs (low-side-only storm)
     // are excluded from selection. Round-3 ADVICE: the old best-of-each-
     // side mixed runs from different windows.
-    val lows = runs.filter(_._1 == cpusLow)
-    val highs = runs.filter(_._1 == cpusHigh)
-    val localPairs = lows.zip(highs)
+    def localPairs() = runs.filter(_._1 == cpusLow).zip(runs.filter(_._1 == cpusHigh))
     def localPairEff(p: ((Int, Double, Long, Double), (Int, Double, Long, Double))): Double =
       (p._2._3 / p._2._2) / ((p._1._3 / p._1._2) * (cpusHigh.toDouble / cpusLow))
+    def plausiblePairs() = localPairs().filter(localPairEff(_) <= 1.02)
+    // storm-aware extra pairs (round-4 VERDICT #6): a single storm pair
+    // must not be the published floor — draw bounded extra pairs until at
+    // least TWO plausible same-window pairs exist; if the budget runs out
+    // the JSON carries an explicit storm annotation instead of silently
+    // publishing one bad draw as the local scaling number.
+    var extraLocal = sys.env.getOrElse("GRAFT_LOCAL_EXTRA", "3").toInt
+    while (extraLocal > 0 && plausiblePairs().length < 2) {
+      measure(cpusLow); measure(cpusHigh)
+      extraLocal -= 1
+    }
+    val stormNote = plausiblePairs().length < 2
     val bestPair = {
-      val plausible = localPairs.filter(localPairEff(_) <= 1.02)
+      val plausible = plausiblePairs()
       if (plausible.nonEmpty) plausible.maxBy(localPairEff)
-      else localPairs.minBy(localPairEff)
+      else localPairs().minBy(localPairEff)
     }
     val ((_, tLow, trLow, stLow), (_, tHigh, trHigh, stHigh)) = bestPair
     val thrLow = trLow / tLow
     val thrHigh = trHigh / tHigh
     val eff = localPairEff(bestPair)
-    val localPairEffs = localPairs.map(localPairEff)
+    val localPairEffs = localPairs().map(localPairEff)
+    val localMedian = {
+      val p = plausiblePairs().map(localPairEff).sorted
+      if (p.isEmpty) eff else p((p.length - 1) / 2)
+    }
 
     // --- headline query timings at full parallelism ---
     val spark = KgPipeline.session(s"local[$cpusHigh]", cpusHigh)
@@ -217,7 +231,9 @@ object Bench {
         s""","cpus_low":$cpusLow,"secs_low":${f(tLow)},"triples_per_sec_low":${f(thrLow)}""" +
         s""","cpus_high":$cpusHigh,"secs_high":${f(tHigh)},"triples_per_sec_high":${f(thrHigh)}""" +
         s""","scaling_efficiency":${f(eff)}""" +
+        s""","scaling_efficiency_median":${f(localMedian)}""" +
         s""","pair_efficiencies":${localPairEffs.map(f).mkString("[", ",", "]")}""" +
+        s""","storm_annotation":$stormNote""" +
         s""","steal_frac_low":${f(stLow)},"steal_frac_high":${f(stHigh)},"reps":$reps}""" +
         s""","cluster_pipeline":$clusterJson""" +
         s""","query_errors":[${failed.map("\"" + _ + "\"").mkString(",")}]}""")

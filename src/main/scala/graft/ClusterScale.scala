@@ -190,33 +190,37 @@ object ClusterScale {
       // publish the most storm-inflated number as the headline)
       else pairs.minBy(pairEff)
     }
-    // storm-aware extra sampling: when even the best same-window pair is
-    // below the BASELINE gate (0.8), spend a bounded budget on extra pairs
-    // (storms pass; a later pair lands in a quieter window). The per-pair
-    // wall-clock is kept small (Bench passes n/2 for this block) exactly so
-    // this budget affords several independent weather draws — a pair of
-    // ~2 min fits inside a quiet window far more often than a ~7 min one.
+    def plausibleEffs(): Seq[Double] =
+      pairs.map(pairEff).filter(_ <= 1.02).sorted.toSeq
+    def medianEff(): Double = {
+      val p = plausibleEffs()
+      if (p.isEmpty) pairEff(best()) else p((p.length - 1) / 2)
+    }
+    // storm-aware extra sampling, gated on the MEDIAN of plausible pairs
+    // (round-4 ADVICE: gating the retry loop on the best pair makes the
+    // 0.8 gate satisfiable by sampling alone — one lucky window ends the
+    // loop. The median over ALL drawn pairs cannot be won by a single
+    // draw: extra samples move it only if the quiet-window reading is the
+    // TYPICAL one). Storms pass; a later pair lands in a quieter window.
+    // The per-pair wall-clock is kept small (Bench passes n/2 for this
+    // block) exactly so this budget affords several independent weather
+    // draws — a pair of ~2 min fits inside a quiet window far more often
+    // than a ~7 min one.
     var extraBudget = sys.env.getOrElse("GRAFT_CLUSTER_EXTRA", "6").toInt
-    while (extraBudget > 0 &&
-        (pairEff(best()) < 0.80 || pairEff(best()) > 1.02)) {
+    while (extraBudget > 0 && medianEff() < 0.80) {
       measurePair()
       extraBudget -= 1
     }
 
+    // throughput absolutes come from the best plausible pair (the quietest
+    // observed window is the least-biased estimator of the engine's rate —
+    // weather can only deflate it); the GATED efficiency headline is the
+    // median of plausible pairs, with the best pair published as auxiliary
     val (tLow, trLow, stLow, tHigh, trHigh, stHigh) = best()
     val thrLow = trLow / tLow
     val thrHigh = trHigh / tHigh
-    val eff = pairEff(best())
-    // the headline is the best plausible same-window pair (a storm can only
-    // DEFLATE a pair once superlinear ones are excluded, so the max is the
-    // estimate least biased by weather); the MEDIAN of plausible pairs is
-    // published alongside as the storm-pessimistic view — ADVICE round 3
-    // flagged that best-of-N alone systematically selects the most
-    // favorable window
-    val plausible = pairs.map(pairEff).filter(_ <= 1.02).sorted
-    val median =
-      if (plausible.isEmpty) eff
-      else plausible((plausible.length - 1) / 2)
+    val effBest = pairEff(best())
+    val median = medianEff()
     def f(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val allEffs = pairs.map(p => f(pairEff(p))).mkString("[", ",", "]")
     s"""{"mode":"local-cluster","pages":$n""" +
@@ -224,7 +228,8 @@ object ClusterScale {
       s""","executor_mem_mb":$memMb,"triples":$trHigh""" +
       s""","secs_low":${f(tLow)},"triples_per_sec_low":${f(thrLow)}""" +
       s""","secs_high":${f(tHigh)},"triples_per_sec_high":${f(thrHigh)}""" +
-      s""","scaling_efficiency":${f(eff)}""" +
+      s""","scaling_efficiency":${f(median)}""" +
+      s""","scaling_efficiency_best":${f(effBest)}""" +
       s""","scaling_efficiency_median":${f(median)}""" +
       s""","steal_frac_low":${f(stLow)},"steal_frac_high":${f(stHigh)}""" +
       s""","pair_efficiencies":$allEffs""" +
