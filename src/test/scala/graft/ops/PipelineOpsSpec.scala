@@ -181,6 +181,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(p1 == golden)
   }
 
+  test("packSequences at 4096 ranges: codegen survives, plan size stays O(1) in P") {
+    import spark.implicits._
+    // parquet input, NOT a local Seq: ConvertToLocalRelation would fold the
+    // search_bucket projection into a LocalTableScan and the test would
+    // never exercise its codegen
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // a codegen fallback must THROW, not silently interpret — this is the
+    // hard form of "SearchBucket stays inside whole-stage codegen at scale"
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val big = PackOps.packSequences(docs, "doc_id",
+        TextOps.tokenCount($"text"), budget = 512L, partitions = 4096)
+      val out = big.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val toks = docs.select($"doc_id", TextOps.tokenCount($"text"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      var acc = 0L
+      val golden = toks.map { case (id, n) =>
+        val s = acc; acc += n; (id, n, s, s / 512L)
+      }.toSeq
+      assert(out == golden)
+
+      // whole-stage codegen survived at P=4096 (AQE final plans mark WSCG
+      // spans with `*(n)`; with spark.sql.codegen.fallback=false above, a
+      // CodegenFallback would have thrown instead of silently interpreting)
+      val bigPlan = big.queryExecution.executedPlan.toString
+      assert(bigPlan.contains("isFinalPlan=true") && bigPlan.contains("*("),
+        bigPlan.take(800))
+      // tokenCount contributes ONE legitimate CASE WHEN; an O(P) indicator
+      // chain would contribute ~4095 of them
+      assert("CASE WHEN".r.findAllIn(bigPlan).size <= 4,
+        "O(P) indicator chain resurfaced")
+
+      // the search_bucket EXPRESSION is O(1) plan size in the cut count:
+      // 4095 cutpoints are one boxed double[] reference, not 4095 plan
+      // nodes (the chained indicator-sum it replaced was O(P) plan text).
+      // Isolated projection so the comparison isn't polluted by the
+      // offset-map literal, which legitimately scales with non-empty ranges.
+      def proj(nCuts: Int) = docs.select(graft.functions.SearchBucket
+        .bucket($"doc_id", Array.tabulate(nCuts)(_.toDouble)).as("b"))
+      val p4095 = proj(4095); val p63 = proj(63)
+      assert(p4095.collect().length == p63.collect().length)
+      val len4095 = p4095.queryExecution.executedPlan.toString.length
+      val len63 = p63.queryExecution.executedPlan.toString.length
+      assert(len4095 <= len63 + 32,
+        s"search_bucket plan text grew with cut count: $len63 -> $len4095")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("packSequences bins respect the budget boundary rule") {
     import spark.implicits._
     val docs = Seq((0L, 300L), (1L, 300L), (2L, 500L), (3L, 10L))
