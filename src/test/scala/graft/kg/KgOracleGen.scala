@@ -414,24 +414,31 @@ object KgOracleGen {
   }
 
   /** kg_link + kg_entity_mentions (round-4 VERDICT #4 / ADVICE #1: make
-    * the exact-match decisions independently derived, not self-snapshot).
+    * the linking decisions independently derived, not self-snapshot).
     *
-    * The oracle SQL now COMPUTES the exact phase inside DuckDB: mentions
+    * The oracle SQL COMPUTES BOTH linking phases inside DuckDB: mentions
     * (VALUES — anchored to the reference's triples via the per-block parity
-    * asserts upstream) equi-joined against the dictionary (VALUES — a pure
-    * driver-side function of the corpus spec, built here WITHOUT Spark) on
-    * the normalization `lower → non-alnum→space → collapse → trim`,
-    * re-expressed as DuckDB regexes. Only the `method='lsh'` fallback rows
-    * remain a pinned snapshot of graft's banded-MinHash semantics (no
-    * reference counterpart; proven local≡distributed in EntityLinkingSpec).
-    * kg_entity_mentions is a SQL GROUP BY over the same derivation — no
-    * pinned counts.
+    * asserts upstream) are normalized (`lower → non-alnum→space → collapse
+    * → trim`, re-expressed as DuckDB regexes) and equi-joined against the
+    * dictionary (VALUES — a pure driver-side function of the corpus spec,
+    * built here WITHOUT Spark) for the exact phase; for the LSH fallback,
+    * the oracle computes the ALL-PAIRS char-3-gram Jaccard between every
+    * missed norm and every dictionary surface (shingle explode + count
+    * join), keeps candidates ≥ JACCARD_THRESHOLD, and picks the
+    * (jaccard, entity_iri)-max per norm — the same deterministic decision
+    * rule, WITHOUT the MinHash banding. Banding is only a candidate-recall
+    * filter, so the two definitions coincide exactly when banding drops no
+    * above-threshold candidate; the generator PROVES that for this corpus
+    * at emit time (see below) and falls back to pinned VALUES with a
+    * warning header if they ever diverge. kg_entity_mentions is a SQL
+    * GROUP BY over the same derivation — no pinned counts.
     *
-    * The generator additionally re-derives the exact decisions locally
-    * (normalize + dictionary map, no EntityLinking join involved) and
-    * refuses to emit if Spark's exact rows differ — so the exact phase is
-    * checked three independent ways: this local recomputation at emit time,
-    * the DuckDB join at every driver compare, and the Spark plan itself. */
+    * Emit-time refusal checks (pure local recomputations, no EntityLinking
+    * join involved): the exact rows must match a normalize+dictionary map,
+    * and the lsh rows must match the all-pairs Jaccard argmax. Each phase
+    * is therefore checked three independent ways: the local recomputation
+    * at emit time, the DuckDB derivation at every driver compare, and the
+    * Spark plan itself. */
   def linkingSqls(spark: org.apache.spark.sql.SparkSession): Map[String, String] = {
     // NOT a filesystem path: the kg_* queries synthesize their corpus and
     // use the sfDir string only as a page-count selector
@@ -459,41 +466,124 @@ object KgOracleGen {
         "normalize+dictionary recomputation — refusing to emit the oracle")
     val lsh = linked.filter(_._4 == "lsh")
 
+    // emit-time independent re-derivation of the lsh phase WITHOUT banding:
+    // all-pairs Jaccard argmax per missed norm (banding is a candidate-
+    // recall filter over exactly this decision — if it dropped any above-
+    // threshold candidate the two would diverge here)
+    val bestByNorm: Map[String, String] = mentionRows.map(_._2).distinct
+      .map(EntityLinking.normalize).distinct
+      .filterNot(dictByNorm.contains)
+      .flatMap { nrm =>
+        val nsh = EntityLinking.shingles(nrm)
+        val scored = dictRows
+          .map(d => (EntityLinking.jaccard(nsh, EntityLinking.shingles(d.surface)),
+            d.entity_iri))
+          .filter(_._1 >= EntityLinking.JACCARD_THRESHOLD)
+        if (scored.isEmpty) Nil else List(nrm -> scored.max._2)
+      }.toMap
+    val lshLocal = mentionRows.flatMap { case (u, s) =>
+      bestByNorm.get(EntityLinking.normalize(s)).map(e => (u, s, e, "lsh"))
+    }.sortBy(identity)
+    val lshDerivable = lshLocal == lsh
+    if (!lshDerivable)
+      System.err.println(s"WARNING: banded lsh (${lsh.length} rows) != " +
+        s"all-pairs lsh (${lshLocal.length} rows) — emitting pinned VALUES " +
+        "for the lsh phase instead of the DuckDB derivation")
+
     val mentionsValues = valuesSql(
       Seq("url" -> "VARCHAR", "surface" -> "VARCHAR"),
       mentionRows.map { case (u, s) => Seq(sqlStr(u), sqlStr(s)) })
     val dictValues = valuesSql(
       Seq("surface" -> "VARCHAR", "entity_iri" -> "VARCHAR"),
       dictRows.map(d => Seq(sqlStr(d.surface), sqlStr(d.entity_iri))))
-    val lshValues =
-      if (lsh.isEmpty)
-        "SELECT CAST(NULL AS VARCHAR) AS url, CAST(NULL AS VARCHAR) AS surface, " +
-          "CAST(NULL AS VARCHAR) AS entity_iri, CAST(NULL AS VARCHAR) AS method WHERE false"
-      else valuesSql(
+    // EntityLinking.normalize for the synthetic (ASCII) surface vocabulary:
+    // lower, every non-alphanumeric run → one space, trim the ends
+    val normExpr =
+      "trim(regexp_replace(lower(m.surface), '[^a-z0-9]+', ' ', 'g'))"
+    // char-3-gram shingle set of a pre-normalized string s in a table t:
+    // one row per DISTINCT shingle (Jaccard is over SETS); norms of length
+    // <= 3 shingle as the single whole string (EntityLinking.shingles)
+    def shingleCte(t: String, col: String): String =
+      s"""SELECT $col, CASE WHEN length($col) <= 3 THEN $col
+         |            ELSE substr($col, CAST(i AS INT), 3) END AS sh
+         |FROM (SELECT $col,
+         |      unnest(generate_series(1, greatest(length($col) - 2, 1))) AS i
+         |      FROM $t)
+         |GROUP BY 1, 2""".stripMargin
+    val lshCte =
+      if (lshDerivable)
+        s"""-- all-pairs 3-gram Jaccard >= ${EntityLinking.JACCARD_THRESHOLD}, argmax by (jaccard, entity_iri):
+           |-- equal to graft's banded-MinHash fallback because banding is pure candidate
+           |-- recall and (verified at generation) drops no above-threshold candidate here
+           |miss_norms AS (
+           |SELECT DISTINCT norm FROM normed
+           |WHERE norm NOT IN (SELECT surface FROM dict)
+           |),
+           |miss_sh AS (${shingleCte("miss_norms", "norm")}),
+           |miss_n AS (SELECT norm, count(*) AS nsh FROM miss_sh GROUP BY norm),
+           |dict_surf AS (SELECT DISTINCT surface FROM dict),
+           |dict_sh AS (${shingleCte("dict_surf", "surface")}),
+           |dict_n AS (SELECT surface, count(*) AS nsh FROM dict_sh GROUP BY surface),
+           |scored AS (
+           |SELECT i.norm, dd.entity_iri,
+           |       CAST(i.ni AS DOUBLE) / (mn.nsh + dn.nsh - i.ni) AS jac
+           |FROM (SELECT m.norm, d.surface AS dsurf, count(*) AS ni
+           |      FROM miss_sh m JOIN dict_sh d ON m.sh = d.sh
+           |      GROUP BY 1, 2) i
+           |JOIN miss_n mn ON mn.norm = i.norm
+           |JOIN dict_n dn ON dn.surface = i.dsurf
+           |JOIN dict dd ON dd.surface = i.dsurf
+           |WHERE CAST(i.ni AS DOUBLE) / (mn.nsh + dn.nsh - i.ni) >= ${EntityLinking.JACCARD_THRESHOLD}
+           |),
+           |best AS (
+           |SELECT norm, entity_iri FROM (
+           |SELECT norm, entity_iri,
+           |       row_number() OVER (PARTITION BY norm ORDER BY jac DESC, entity_iri DESC) AS rk
+           |FROM scored) WHERE rk = 1
+           |),
+           |lsh AS (
+           |SELECT n.url, n.surface, b.entity_iri, CAST('lsh' AS VARCHAR) AS method
+           |FROM normed n JOIN best b ON n.norm = b.norm
+           |)""".stripMargin
+      else if (lsh.isEmpty)
+        """lsh AS (
+          |SELECT CAST(NULL AS VARCHAR) AS url, CAST(NULL AS VARCHAR) AS surface,
+          |CAST(NULL AS VARCHAR) AS entity_iri, CAST(NULL AS VARCHAR) AS method WHERE false
+          |)""".stripMargin
+      else "lsh AS (" + valuesSql(
         Seq("url" -> "VARCHAR", "surface" -> "VARCHAR",
           "entity_iri" -> "VARCHAR", "method" -> "VARCHAR"),
         lsh.map { case (u, s, e, m) =>
-          Seq(sqlStr(u), sqlStr(s), sqlStr(e), sqlStr(m)) })
-    // EntityLinking.normalize for the synthetic (ASCII) surface vocabulary:
-    // lower, every non-alphanumeric run → one space, trim the ends
-    val norm =
-      "trim(regexp_replace(lower(m.surface), '[^a-z0-9]+', ' ', 'g'))"
+          Seq(sqlStr(u), sqlStr(s), sqlStr(e), sqlStr(m)) }) + ")"
     val header =
-      """-- exact-method rows are DERIVED here (mentions × dictionary join on the
-        |-- normalization lower + non-alnum-runs→space + trim); mentions are anchored
-        |-- to the reference's triples upstream (KgOracleGen per-block parity), the
-        |-- dictionary is a pure function of the corpus spec. ONLY the lsh CTE is a
-        |-- pinned snapshot of graft's banded-MinHash fallback (no reference
-        |-- counterpart exists — harriet is a grammar, not a linker).
-        |""".stripMargin
+      if (lshDerivable)
+        """-- FULLY DERIVED linking oracle: mentions are anchored to the reference's
+          |-- triples upstream (KgOracleGen per-block parity), the dictionary is a pure
+          |-- function of the corpus spec, and DuckDB computes BOTH phases — the exact
+          |-- equi-join on the normalization lower + non-alnum-runs→space + trim, and
+          |-- the lsh fallback as all-pairs 3-gram Jaccard argmax (banding verified
+          |-- lossless on this corpus at generation). No self-snapshot rows.
+          |""".stripMargin
+      else
+        """-- exact-method rows are DERIVED here (mentions × dictionary join on the
+          |-- normalization lower + non-alnum-runs→space + trim); mentions are anchored
+          |-- to the reference's triples upstream (KgOracleGen per-block parity), the
+          |-- dictionary is a pure function of the corpus spec. The lsh CTE is a
+          |-- pinned snapshot: on THIS corpus the banded fallback diverged from the
+          |-- all-pairs Jaccard decision at generation time (banding dropped an
+          |-- above-threshold candidate), so no independent SQL derivation exists.
+          |""".stripMargin
     val linkedCte =
       s"""WITH mentions AS ($mentionsValues),
          |dict AS ($dictValues),
-         |lsh AS ($lshValues),
+         |normed AS (
+         |SELECT m.url, m.surface, $normExpr AS norm FROM mentions m
+         |),
+         |$lshCte,
          |linked AS (
-         |SELECT m.url AS url, m.surface AS surface, d.entity_iri AS entity_iri,
+         |SELECT n.url AS url, n.surface AS surface, d.entity_iri AS entity_iri,
          |       CAST('exact' AS VARCHAR) AS method
-         |FROM mentions m JOIN dict d ON $norm = d.surface
+         |FROM normed n JOIN dict d ON n.norm = d.surface
          |UNION ALL
          |SELECT url, surface, entity_iri, method FROM lsh
          |)""".stripMargin
