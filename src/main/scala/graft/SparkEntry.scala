@@ -327,7 +327,10 @@ object SparkEntry {
         .filter(col("n_tokens") >= 10 &&
           col("n_punct") * 5 <= col("n_tokens") &&
           col("n_digits") * 2 <= col("n_tokens"))
-      val keepers = q.groupBy(col("text"))
+      // keeper per distinct text, keyed on (length, md5) — ~36-byte shuffle
+      // key instead of the whole document (same collision bound as
+      // DedupOps.exactDedup: expected colliding pairs n²/2^129, ignorable)
+      val keepers = q.groupBy(length(col("text")), md5(col("text")))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
       q.join(keepers, "doc_id")

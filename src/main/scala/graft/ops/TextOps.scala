@@ -178,41 +178,49 @@ object TextOps {
     * highest count, then lexicographically greatest bigram (tokens are
     * [a-z0-9 ]-only post-normalization, so JVM string order = the UTF-8
     * binary order the SQL oracle's max(struct(n, bg)) uses) —
-    * deterministic and reproducible in plain SQL. */
+    * deterministic and reproducible in plain SQL.
+    *
+    * The id column is OPAQUE: it is projected through untouched, so any id
+    * type (string keys, composite-hash ids) survives with its type — the
+    * round-5 version cast it to long, silently nulling non-numeric ids
+    * (round-5 ADVICE). NULL text counts as an empty document (total_words =
+    * distinct_words = 0, null bigram): errors-as-data, consistent with
+    * [[DedupOps.wordShingles]] and the quality counters. */
   def repetitionStats(documents: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    documents.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        // EXACTLY normTokens: lowercase, split non-[a-z0-9] runs, drop empties
-        val toks = (if (text == null) "" else text)
-          .toLowerCase(java.util.Locale.ROOT)
-          .split("[^a-z0-9]+").filter(_.nonEmpty)
-        val total = toks.length.toLong
-        val distinct = toks.distinct.length.toLong
-        if (toks.length < 2) (id, total, distinct, None: Option[String], None: Option[Long])
-        else {
-          val counts = new java.util.HashMap[String, Long](toks.length * 2)
-          var i = 0
-          while (i < toks.length - 1) {
-            val bg = toks(i) + " " + toks(i + 1)
-            counts.put(bg, counts.getOrDefault(bg, 0L) + 1L)
-            i += 1
-          }
-          var bestBg: String = null
-          var bestN = 0L
-          counts.forEach { (bg, n) =>
-            if (n > bestN || (n == bestN && bg.compareTo(bestBg) > 0)) {
-              bestBg = bg; bestN = n
-            }
-          }
-          (id, total, distinct, Some(bestBg), Some(bestN))
+    // EXACTLY normTokens inside: lowercase, split non-[a-z0-9] runs, drop
+    // empties. One scalar function of the text column — narrow, and the id
+    // needs no encoder because it never leaves the Catalyst row.
+    val stats = udf { (text: String) =>
+      val toks = (if (text == null) "" else text)
+        .toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9]+").filter(_.nonEmpty)
+      val total = toks.length.toLong
+      val distinct = toks.distinct.length.toLong
+      if (toks.length < 2) (total, distinct, None: Option[String], None: Option[Long])
+      else {
+        val counts = new java.util.HashMap[String, Long](toks.length * 2)
+        var i = 0
+        while (i < toks.length - 1) {
+          val bg = toks(i) + " " + toks(i + 1)
+          counts.put(bg, counts.getOrDefault(bg, 0L) + 1L)
+          i += 1
         }
+        var bestBg: String = null
+        var bestN = 0L
+        counts.forEach { (bg, n) =>
+          if (n > bestN || (n == bestN && bg.compareTo(bestBg) > 0)) {
+            bestBg = bg; bestN = n
+          }
+        }
+        (total, distinct, Some(bestBg), Some(bestN))
       }
-      .toDF(idCol, "total_words", "distinct_words", "top_bigram",
-        "top_bigram_n")
+    }.asNondeterministic() // single evaluation: the struct is decomposed 4×
+    documents
+      .select(col(idCol), stats(col(textCol)).as("_s"))
+      .select(col(idCol), col("_s._1").as("total_words"),
+        col("_s._2").as("distinct_words"), col("_s._3").as("top_bigram"),
+        col("_s._4").as("top_bigram_n"))
   }
 
   /** Winnowing fingerprints per document: (doc_id, fingerprint) rows —
