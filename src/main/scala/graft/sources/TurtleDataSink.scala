@@ -184,14 +184,20 @@ private class TurtleBatchWrite(path: String, schema: StructType,
     // their staged files wiped by another job's commit/abort
     fs.delete(new org.apache.hadoop.fs.Path(root, s"_temporary/$jobTag"), true)
     // crashed jobs never reach commit/abort, so their _temporary/<jobTag>
-    // staging dirs would leak forever — sweep siblings old enough that no
-    // live job can still own them (bounded by staging-dir mtime)
+    // staging dirs would leak forever — sweep siblings with no activity for
+    // STALE_STAGING_MS. "Activity" is the newest mtime among the dir AND
+    // its direct children: running writers heartbeat a .beat file every
+    // BEAT_INTERVAL_MS precisely so a LIVE job in a single >1h write wave
+    // (no new file creations bumping the dir mtime — plausible at scale)
+    // can never be mistaken for a crash and reaped mid-write (the dir
+    // mtime alone only moves on child creation on HDFS-like stores).
     val tmpParent = new org.apache.hadoop.fs.Path(root, "_temporary")
     try {
       if (fs.exists(tmpParent)) {
         val cutoff = System.currentTimeMillis() - TurtleBatchWrite.STALE_STAGING_MS
         fs.listStatus(tmpParent)
-          .filter(st => st.isDirectory && st.getModificationTime < cutoff)
+          .filter(st => st.isDirectory &&
+            TurtleBatchWrite.newestActivity(fs, st) < cutoff)
           .foreach(st => fs.delete(st.getPath, true))
         // opportunistically drop the shared parent when empty (best-effort)
         fs.delete(tmpParent, false)
@@ -207,11 +213,30 @@ private class TurtleBatchWrite(path: String, schema: StructType,
   }
 }
 
-private object TurtleBatchWrite {
-  /** A `_temporary/<jobTag>` staging dir whose mtime is older than this is
-    * treated as a crashed job's leak and reaped at the next commit. One
-    * hour: far above any sane commit latency, far below "fills the disk". */
+private[sources] object TurtleBatchWrite {
+  /** A `_temporary/<jobTag>` staging dir with no ACTIVITY (see
+    * [[newestActivity]]) for this long is treated as a crashed job's leak
+    * and reaped at the next commit. One hour — 12× the writer heartbeat
+    * interval, far below "fills the disk". */
   val STALE_STAGING_MS: Long = 60L * 60 * 1000
+
+  /** Writers refresh a `.beat-<partition>-<task>` file in their staging dir
+    * at this interval while actively writing, so a live long wave keeps its
+    * staging dir's newest-activity timestamp moving. */
+  val BEAT_INTERVAL_MS: Long = 5L * 60 * 1000
+
+  /** Newest activity timestamp of a staging dir: the max of its own mtime
+    * (bumped by child creation) and its direct children's mtimes (the
+    * heartbeat files; on local filesystems also the staged files as they
+    * are written). Listing cost is per LEAKED dir candidate at commit —
+    * normally zero entries. */
+  private[sources] def newestActivity(fs: org.apache.hadoop.fs.FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Long = {
+    val kids =
+      try fs.listStatus(st.getPath)
+      catch { case _: Exception => Array.empty[org.apache.hadoop.fs.FileStatus] }
+    (st.getModificationTime +: kids.map(_.getModificationTime)).max
+  }
 }
 
 private case class TurtleCommitMessage(stagedPath: String, partitionId: Int)
@@ -241,11 +266,28 @@ private class TurtleFileWriter(path: String, jobTag: String,
     if (row.isNullAt(idx)) null else row.getUTF8String(idx).toString
   }
 
+  // liveness heartbeat (time-gated: one cheap clock read per row, one FS
+  // create per BEAT_INTERVAL_MS) — keeps the commit-side reaper from
+  // mistaking a live single-wave job for a crashed one
+  private var lastBeat = System.currentTimeMillis()
+  private def maybeBeat(): Unit = {
+    val now = System.currentTimeMillis()
+    if (now - lastBeat >= TurtleBatchWrite.BEAT_INTERVAL_MS) {
+      lastBeat = now
+      try {
+        val b = fs.create(new org.apache.hadoop.fs.Path(
+          s"$path/_temporary/$jobTag/.beat-$partitionId-$taskId"), true)
+        b.close()
+      } catch { case _: Exception => () } // advisory only — never fail a task
+    }
+  }
+
   override def write(row: InternalRow): Unit = {
     val line = TurtleDataSink.renderLine(str(row, 0), str(row, 1), str(row, 2),
       str(row, 3), str(row, 4), str(row, 5), str(row, 6))
     out.write(line.getBytes(StandardCharsets.UTF_8))
     out.write('\n')
+    maybeBeat()
   }
 
   override def commit(): WriterCommitMessage = {

@@ -15,22 +15,31 @@ import scala.jdk.CollectionConverters._
   * construction over a landing directory (pair with watermarked aggs or
   * `Materialize` in `foreachBatch` downstream).
   *
-  * Offset design (round 5 — compacting registry): an offset is
-  * `{registry version, tail file set}`; the seen-file set it represents is
-  * `registry(version) ∪ tail`. Registry versions are immutable JSON files
-  * under `<checkpointLocation>/graft-registry/<version>.compact`, written
-  * atomically (tmp + rename) by `commit()` whenever the committed tail
-  * exceeds `compactTail` entries — the same periodic seen-files-log
-  * compaction Spark's own `FileStreamSource` performs. The serialized
-  * offset is therefore bounded by the arrivals since the last compaction,
-  * not by the lifetime file count (the round-4 design carried the ENTIRE
-  * seen set in every offset: tens of MB per micro-batch at ~10^6 tracked
-  * files). Exactly-once survives restart because compact files are
-  * immutable and the offset log's entries resolve against the version they
-  * name; retention keeps the last [[TurtleMicroBatchStream.RETAIN_VERSIONS]]
-  * versions (Spark replays only the trailing uncommitted batch, so older
-  * versions are unreachable from the offset log by the time they are
-  * pruned).
+  * Offset design (round 5 — compacting registry; round 6 — delta-chained):
+  * an offset is `{registry version, tail file set}`; the seen-file set it
+  * represents is `registry(version) ∪ tail`. Registry versions are
+  * immutable JSON files under `<checkpointLocation>/graft-registry/`,
+  * written atomically (tmp + checked rename) by `commit()` whenever the
+  * committed tail exceeds `compactTail` entries — the periodic
+  * seen-files-log compaction Spark's own `FileStreamSource` performs, minus
+  * its full-rewrite cost: most versions are `<v>.delta` files holding ONLY
+  * the files new since version v-1, with a full `<v>.compact` snapshot
+  * every [[TurtleMicroBatchStream.FULL_EVERY]] versions (and always at
+  * v=0). A version resolves as the union of its delta chain back to the
+  * nearest full snapshot (chain length < FULL_EVERY, memoized per stream),
+  * so per-compaction write cost is O(arrivals since last compaction)
+  * amortized — the round-5 design rewrote the FULL seen set every
+  * compaction, O(lifetime files) each time. The serialized offset is
+  * bounded by the arrivals since the last compaction, not by the lifetime
+  * file count (the round-4 design carried the ENTIRE seen set in every
+  * offset: tens of MB per micro-batch at ~10^6 tracked files). Exactly-once
+  * survives restart because version files are immutable and the offset
+  * log's entries resolve against the version they name; pruning keeps
+  * every version file needed to resolve the last
+  * [[TurtleMicroBatchStream.RETAIN_VERSIONS]] versions — i.e. back to the
+  * newest full snapshot at or below that window (Spark replays only the
+  * trailing uncommitted batch, so older versions are unreachable from the
+  * offset log by the time they are pruned).
   *
   * A compaction changes the offset representation (same seen set, new
   * version + short tail), so the trigger after a compaction plans one
@@ -45,14 +54,14 @@ import scala.jdk.CollectionConverters._
 private class TurtleMicroBatchStream(path: String, maxBytes: Long,
     minAgeMs: Long, checkpointLocation: String, compactTail: Int)
     extends MicroBatchStream {
-  import TurtleMicroBatchStream.RETAIN_VERSIONS
+  import TurtleMicroBatchStream.{FULL_EVERY, RETAIN_VERSIONS}
 
   private val registryPath = new Path(checkpointLocation, "graft-registry")
   private lazy val fs = registryPath.getFileSystem(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 
-  // newest registry version + its file set (regVersion = -1 → no registry);
-  // regCache holds every version read this stream's lifetime (bounded by
+  // newest registry version + its RESOLVED file set (regVersion = -1 → no
+  // registry); regCache memoizes resolved sets per version (bounded by
   // retention). All driver-side, rebuilt from the registry dir on restart.
   private val regCache = mutable.Map.empty[Long, Set[String]]
   private var regVersion: Long = -1L
@@ -60,31 +69,49 @@ private class TurtleMicroBatchStream(path: String, maxBytes: Long,
   locally {
     if (fs.exists(registryPath)) {
       val vs = fs.listStatus(registryPath).toSeq.map(_.getPath.getName)
-        .filter(_.endsWith(".compact"))
-        .flatMap(n => n.stripSuffix(".compact").toLongOption)
+        .flatMap(versionOf)
       if (vs.nonEmpty) {
         regVersion = vs.max
-        regFiles = readCompact(regVersion)
+        regFiles = readSet(regVersion)
       }
     }
   }
 
-  private def readCompact(v: Long): Set[String] =
-    regCache.getOrElseUpdate(v, {
-      val in = fs.open(new Path(registryPath, s"$v.compact"))
-      val bytes =
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val tmp = new Array[Byte](64 * 1024)
-          var n = in.read(tmp)
-          while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-          buf.toByteArray
-        } finally in.close()
-      TurtleOffset.mapper.readValue(bytes, classOf[Array[String]]).toSet
-    })
+  /** Version number of a registry file name (both full and delta forms). */
+  private def versionOf(name: String): Option[Long] =
+    if (name.endsWith(".compact")) name.stripSuffix(".compact").toLongOption
+    else if (name.endsWith(".delta")) name.stripSuffix(".delta").toLongOption
+    else None
+
+  private def readJsonArray(p: Path): Set[String] = {
+    val in = fs.open(p)
+    val bytes =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](64 * 1024)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toByteArray
+      } finally in.close()
+    TurtleOffset.mapper.readValue(bytes, classOf[Array[String]]).toSet
+  }
+
+  /** Resolved seen set of registry version `v`: the `<v>.compact` snapshot
+    * if one exists, else `<v>.delta` unioned with the chain below it —
+    * recursion depth < FULL_EVERY, memoized. */
+  private def readSet(v: Long): Set[String] = regCache.get(v) match {
+    case Some(s) => s
+    case None =>
+      val fullP = new Path(registryPath, s"$v.compact")
+      val s =
+        if (fs.exists(fullP)) readJsonArray(fullP)
+        else readSet(v - 1) ++ readJsonArray(new Path(registryPath, s"$v.delta"))
+      regCache(v) = s
+      s
+  }
 
   private def seenSet(o: TurtleOffset): Set[String] =
-    (if (o.version < 0) Set.empty[String] else readCompact(o.version)) ++ o.files
+    (if (o.version < 0) Set.empty[String] else readSet(o.version)) ++ o.files
 
   override def initialOffset(): Offset = TurtleOffset(-1L, Nil)
 
@@ -113,26 +140,63 @@ private class TurtleMicroBatchStream(path: String, maxBytes: Long,
     new TurtleReaderFactory(maxBytes)
 
   /** Called after a batch commits durably: fold an oversized tail into a
-    * new immutable registry version, then prune versions out of retention. */
+    * new immutable registry version (delta when a resolvable predecessor
+    * exists and no periodic snapshot is due), then prune version files no
+    * longer needed to resolve the retention window. The new version is
+    * written tmp-then-rename, and BOTH steps are checked BEFORE any
+    * in-memory state advances — a failed rename must not leave
+    * regVersion pointing at a version file that does not exist on disk
+    * (that would poison every subsequent offset-log entry and make the
+    * checkpoint permanently unrecoverable after restart). */
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[TurtleOffset]
     if (e.files.length >= compactTail) {
-      val newV = math.max(regVersion, e.version) + 1
       val full = seenSet(e)
+      // Restart replay: MicroBatchExecution re-commits the last committed
+      // offset when a query restarts. If that offset's tail was already
+      // folded (its resolved set is exactly the current registry head), a
+      // new version would be an empty delta per restart — version churn
+      // with no information. Skip it. (Seen sets only grow, so equality
+      // means "nothing new".)
+      if (regVersion >= 0 && full == regFiles) return
+      val newV = math.max(regVersion, e.version) + 1
       fs.mkdirs(registryPath)
-      val tmp = new Path(registryPath, s".$newV.compact.tmp")
+      // delta base: the chain expects exactly version newV-1. v=0 and every
+      // FULL_EVERY-th version snapshot fully (bounding chain length AND
+      // enabling pruning); an unresolvable predecessor (shouldn't happen —
+      // defensive) also forces a full snapshot.
+      val prevSet: Option[Set[String]] =
+        if (newV == 0 || newV % FULL_EVERY == 0) None
+        else try Some(readSet(newV - 1)) catch { case _: Exception => None }
+      val (suffix, payload) = prevSet match {
+        case Some(prev) => ("delta", full -- prev)
+        case None       => ("compact", full)
+      }
+      val tmp = new Path(registryPath, s".$newV.$suffix.tmp")
+      val dst = new Path(registryPath, s"$newV.$suffix")
       val out = fs.create(tmp, true)
-      try out.write(TurtleOffset.mapper.writeValueAsBytes(full.toArray.sorted))
+      try out.write(TurtleOffset.mapper.writeValueAsBytes(payload.toArray.sorted))
       finally out.close()
-      fs.rename(tmp, new Path(registryPath, s"$newV.compact"))
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(
+          s"turtle registry publish failed: rename $tmp -> $dst returned false; " +
+            "keeping previous registry version in use")
       regCache(newV) = full
       regVersion = newV
       regFiles = full
-      fs.listStatus(registryPath).foreach { st =>
-        val n = st.getPath.getName
-        if (n.endsWith(".compact")) {
-          n.stripSuffix(".compact").toLongOption.foreach { v =>
-            if (v <= newV - RETAIN_VERSIONS) {
+      // prune below the newest full snapshot at or below the retention
+      // window's floor — everything >= that snapshot is needed to resolve
+      // some version in [newV - RETAIN_VERSIONS + 1, newV]
+      val listed = fs.listStatus(registryPath).toSeq
+      val fulls = listed.map(_.getPath.getName)
+        .filter(_.endsWith(".compact"))
+        .flatMap(_.stripSuffix(".compact").toLongOption)
+      val windowFloor = newV - RETAIN_VERSIONS + 1
+      val base = fulls.filter(_ <= windowFloor).maxOption
+      base.foreach { b =>
+        listed.foreach { st =>
+          versionOf(st.getPath.getName).foreach { v =>
+            if (v < b) {
               fs.delete(st.getPath, false)
               regCache.remove(v)
             }
@@ -152,11 +216,20 @@ private object TurtleMicroBatchStream {
     * under the round-4 unbounded design's 10^6-file pathology. */
   val DEFAULT_COMPACT_TAIL = 4096
 
-  /** Registry versions kept on disk. Spark replays at most the trailing
-    * uncommitted batch on restart, whose offsets reference the newest one
-    * or two versions; 8 is a generous safety margin, and each retained
-    * version costs one seen-set-sized JSON file. */
+  /** Registry versions kept resolvable on disk. Spark replays at most the
+    * trailing uncommitted batch on restart, whose offsets reference the
+    * newest one or two versions; 8 is a generous safety margin. Retained
+    * deltas cost O(their arrivals) each; pruning keeps the chain back to
+    * the newest full snapshot at or below the window. */
   val RETAIN_VERSIONS = 8
+
+  /** Every FULL_EVERY-th version is a full `<v>.compact` snapshot instead
+    * of a `<v>.delta`: bounds delta-chain resolution depth, and gives
+    * pruning a base below which older version files can be deleted. The
+    * full-set rewrite cost is paid once per FULL_EVERY compactions —
+    * amortized O(arrivals) per compaction instead of the round-5
+    * O(lifetime files) every compaction. */
+  val FULL_EVERY = 8
 }
 
 private case class TurtleOffset(version: Long, files: Seq[String]) extends Offset {
