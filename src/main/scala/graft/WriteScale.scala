@@ -31,4 +31,61 @@ object WriteScale {
     once(levels.max, 20000, "warmup")
     for (rep <- 1 to 2; cpus <- levels) once(cpus, n, s"rep=$rep")
   }
+
+  /** Separate-JVM write-stage probe (round-5 VERDICT #7 follow-up to
+    * ScalePreview's finding that the 40M-page e2e is materialize-dominated):
+    * times `Materialize.write` ALONE at 1 vs 4 local-cluster workers over
+    * the SAME staged canonical-triple parquet, isolating the claimed
+    * trivial write parallelism (independent bucket files, staged-rename
+    * commit) from parse/link/cc. Usage:
+    * `runMain graft.WriteScaleCluster [pages] [reps]`. */
+  private[graft] def clusterProbe(n: Long, reps: Int): Unit = {
+    val base = java.nio.file.Paths.get("/dev/shm/graft-bench")
+    java.nio.file.Files.createDirectories(base)
+    // stage once, locally: the probe input is identical bytes for every run
+    val stagedDir = java.nio.file.Files.createTempDirectory(base, "wsc-stage-").toString
+    locally {
+      val s = KgPipeline.session("local[16]", 32)
+      s.sparkContext.setLogLevel("WARN")
+      val triples = TripleExtraction.run(PagesSource.pages(s, n))
+      val labels = Canonicalize.connectedComponents(Canonicalize.sameAsEdges(triples))
+      Canonicalize.canonicalizeTriples(triples, labels)
+        .write.mode("overwrite").parquet(stagedDir)
+      s.stop()
+    }
+    // interleaved pairs, same protocol as ClusterScale: each session runs
+    // one untimed warm write (fresh executor JVMs) then the timed one
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    for (_ <- 1 to reps; w <- Seq(1, 4)) {
+      val s = ClusterScale.session(w, 1, 8192)
+      s.sparkContext.setLogLevel("WARN")
+      val staged = s.read.parquet(stagedDir)
+      for (pass <- Seq("warm", "timed")) {
+        val out = java.nio.file.Files.createTempDirectory(base, s"wsc-$w-").toString
+        val t0 = System.nanoTime()
+        Materialize.write(staged, out)
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (pass == "timed") {
+          rows += ((w, dt))
+          println(f"WRITESCALE_CLUSTER w=$w%d write_secs=$dt%7.2f")
+        }
+        Bench.rmTree(new java.io.File(out))
+      }
+      s.stop()
+    }
+    Bench.rmTree(new java.io.File(stagedDir))
+    val pairs = rows.filter(_._1 == 1).map(_._2).zip(rows.filter(_._1 == 4).map(_._2))
+    pairs.foreach { case (t1, t4) =>
+      println(f"WRITESCALE_CLUSTER pair eff=${t1 / (4.0 * t4)}%5.3f (1w=$t1%.2f s, 4w=$t4%.2f s)")
+    }
+  }
+}
+
+/** `runMain graft.WriteScaleCluster [pages] [reps]` — see
+  * [[WriteScale.clusterProbe]]. */
+object WriteScaleCluster {
+  def main(args: Array[String]): Unit =
+    WriteScale.clusterProbe(
+      if (args.nonEmpty) args(0).toLong else 2000000L,
+      if (args.length > 1) args(1).toInt else 2)
 }
