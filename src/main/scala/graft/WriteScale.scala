@@ -59,6 +59,11 @@ object WriteScale {
     for (_ <- 1 to reps; w <- Seq(1, 4)) {
       val s = ClusterScale.session(w, 1, 8192)
       s.sparkContext.setLogLevel("WARN")
+      // the staged table is one ~continuous parquet dir; left to the default
+      // 128 MB split size the scan coalesces into ~3 partitions and the probe
+      // measures task-granularity luck, not the write path. 16 MB splits give
+      // every worker count >= 4 tasks/core of scan parallelism.
+      s.conf.set("spark.sql.files.maxPartitionBytes", "16m")
       val staged = s.read.parquet(stagedDir)
       for (pass <- Seq("warm", "timed")) {
         val out = java.nio.file.Files.createTempDirectory(base, s"wsc-$w-").toString

@@ -95,4 +95,40 @@ class PairSelectSpec extends AnyFunSuite {
     val injected = ClusterSessions.withFields("""{"a":1}""", "\"b\":2")
     assert(injected == """{"a":1,"b":2}""")
   }
+
+  test("ClusterSessions.choose picks best qualified among recorded + live") {
+    def sess(eff: Double, pairs: Int = 5, storm: Boolean = false,
+        probe: Double = 820000.0): String =
+      s"""{"pairs":$pairs,"storm_annotation":$storm,"steal_frac_max":0.001,""" +
+        s""""probe_thr_local32":$probe,"scaling_efficiency":$eff}"""
+    val dir = java.nio.file.Files.createTempDirectory("css-test")
+    val file = dir.resolve("sessions.jsonl").toString
+    // no file at all -> live wins even if unqualified
+    val liveBad = """{"pairs":4,"storm_annotation":false,"steal_frac_max":0.001,
+      "scaling_efficiency":0.30}""" // live probe injected by choose()
+    locally {
+      val (chosen, liveAudit, n) = ClusterSessions.choose(liveBad, 400000.0, file)
+      assert(liveAudit.isEmpty && n == 1)
+      assert(chosen.contains("\"session\":\"live\""))
+    }
+    // recorded: one qualified (0.84), one better-but-stormy, one garbage line
+    ClusterSessions.record(sess(0.84), file)
+    ClusterSessions.record(sess(0.95, storm = true), file)
+    ClusterSessions.record("not json", file)
+    locally {
+      val (chosen, liveAudit, n) = ClusterSessions.choose(liveBad, 400000.0, file)
+      assert(n == 3, "2 parseable recorded + live")
+      assert(chosen.contains("\"scaling_efficiency\":0.84"), s"got $chosen")
+      assert(liveAudit.exists(_.contains("\"session\":\"live\"")),
+        "live measurement must ship for audit when a recorded session wins")
+    }
+    // a QUALIFIED live beats a weaker recorded session
+    val liveGood = """{"pairs":4,"storm_annotation":false,"steal_frac_max":0.001,
+      "scaling_efficiency":0.90}"""
+    locally {
+      val (chosen, liveAudit, _) = ClusterSessions.choose(liveGood, 820000.0, file)
+      assert(chosen.contains("\"session\":\"live\"") && liveAudit.isEmpty)
+    }
+    Bench.rmTree(dir.toFile)
+  }
 }
