@@ -16,6 +16,24 @@ class OpsSpec extends AnyFunSuite {
     assert(d.count() == docs.select("text").distinct().count())
   }
 
+  test("exact dedup shuffles hash keys with map-side partials, never raw text") {
+    // the round-6 scale property (VERDICT #4): the single Exchange must key
+    // on the computed (length, md5) pair AFTER a partial aggregate, so the
+    // shuffle payload is one ~36-byte row per distinct text per partition —
+    // not the corpus. Structural assert so a refactor that regresses to
+    // groupBy(text) (full-text shuffle key) or loses the partial fails here.
+    val plan = DedupOps.exactDedup(docs).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one shuffle:\n${plan.take(2000)}")
+    // the Exchange keys on the aliased computed expressions; raw text in the
+    // partitioning would show as a direct text#N reference
+    val part = plan.linesIterator.find(_.contains("Exchange hashpartitioning")).get
+    assert(!part.contains("text#"), s"shuffle keyed on raw text: $part")
+    assert(plan.contains("md5("), s"hash key missing from plan:\n${plan.take(2000)}")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"map-side partial aggregate missing:\n${plan.take(2000)}")
+  }
+
   test("minhash dedup finds injected near-duplicates with high recall") {
     import spark.implicits._
     // inject: drop last token of every 5th doc
