@@ -246,9 +246,19 @@ object Bench {
     // included for audit. The live candidate's probe is this run's own
     // local[32] best-pair throughput.
     val (clusterFinal, clusterLive, considered) =
-      ClusterSessions.choose(clusterJson, thrHigh)
+      ClusterSessions.choose(clusterJson, thrHigh, n, cpusHigh)
 
-    println(
+    // Window-quality flag for the local pipeline block (round-6 VERDICT
+    // "what's wrong" #5): below_band=true means this run's high-side
+    // throughput sits under the quiet band recorded for this exact shape —
+    // readable window quality without cross-referencing BENCH.md. Only
+    // meaningful at the banded shape; elsewhere band_low is 0 (never below).
+    val bandLow =
+      if (n == ClusterSessions.BAND_PROBE_PAGES && cpusHigh == ClusterSessions.BAND_PROBE_CPUS)
+        ClusterSessions.probeBandLow
+      else 0.0
+
+    val line =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
         s""","pipeline":{"pages":$n,"triples":$trHigh""" +
         s""","cpus_low":$cpusLow,"secs_low":${f(tLow)},"triples_per_sec_low":${f(thrLow)}""" +
@@ -258,10 +268,25 @@ object Bench {
         s""","pair_efficiencies":${localPairEffs.map(f).mkString("[", ",", "]")}""" +
         s""","storm_annotation":$stormNote""" +
         s""","thr_floor":${f(thrFloor)}""" +
+        s""","band_low":${f(bandLow)},"below_band":${thrHigh < bandLow}""" +
         s""","steal_frac_low":${f(stLow)},"steal_frac_high":${f(stHigh)},"reps":$reps}""" +
         s""","cluster_pipeline":$clusterFinal""" +
         s""","cluster_sessions_considered":$considered""" +
         clusterLive.map(l => s""","cluster_pipeline_live":$l""").getOrElse("") +
-        s""","query_errors":[${failed.map("\"" + _ + "\"").mkString(",")}]}""")
+        s""","query_errors":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
+    println(line)
+    // The stdout line is the driver's artifact of record, but its tail
+    // capture has truncated it before (BENCH_r06.json starts mid-JSON) —
+    // also persist the full line in-repo so every round's artifact is
+    // complete (round-6 VERDICT #2). Best-effort: never fail the bench.
+    try {
+      val p = java.nio.file.Paths.get("bench/BENCH_last.json")
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] WARN: could not write bench/BENCH_last.json: $e")
+    }
   }
 }

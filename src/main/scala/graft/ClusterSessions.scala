@@ -36,6 +36,16 @@ object ClusterSessions {
   def probeBandLow: Double =
     sys.env.get("GRAFT_PROBE_BAND_LOW").map(_.toDouble).getOrElse(750000.0)
 
+  /** The SHAPE the quiet band was measured on (BENCH.md: 4M-page pipeline at
+    * local[32], sf0.1). A probe at any other shape says nothing about this
+    * band, so [[qualified]] requires the candidate's recorded probe shape to
+    * match — in particular the LIVE Bench candidate, whose probe is whatever
+    * sfDir/cpus/scale that run used (round-6 ADVICE: without this gate a
+    * non-default-shape live run was judged against a band measured on a
+    * different workload). */
+  val BAND_PROBE_PAGES = 4000000L
+  val BAND_PROBE_CPUS = 32
+
   private val mapper = new ObjectMapper()
 
   /** Append one session line (ClusterScale session mode). */
@@ -60,7 +70,11 @@ object ClusterSessions {
     i(n, "pairs", 0) >= 4 &&
       !b(n, "storm_annotation", true) &&
       d(n, "steal_frac_max", 1.0) <= 0.01 &&
-      d(n, "probe_thr_local32", 0.0) >= probeBandLow
+      d(n, "probe_thr_local32", 0.0) >= probeBandLow &&
+      // band validity gate: the probe must have run at the band's own shape
+      // (missing shape fields disqualify — conservative for foreign lines)
+      d(n, "probe_pages", -1.0) == BAND_PROBE_PAGES.toDouble &&
+      i(n, "probe_cpus", -1) == BAND_PROBE_CPUS
 
   private def medianOf(n: JsonNode): Double = d(n, "scaling_efficiency", -1.0)
 
@@ -71,15 +85,24 @@ object ClusterSessions {
     if (!t.endsWith("}")) t else t.dropRight(1) + "," + fields + "}"
   }
 
-  /** Pick the published cluster object: best qualified candidate among the
-    * recorded sessions and the live measurement (tagged with this run's own
-    * local[32] probe). Returns (chosen, liveForAudit, consideredCount):
-    * liveForAudit is Some(live) only when a recorded session was chosen. */
-  def choose(liveJson: String, liveProbeThr: Double,
-      file: String = FILE): (String, Option[String], Int) = {
+  /** Pick the published cluster object among the recorded sessions and the
+    * live measurement (tagged with this run's own local[32] probe + its
+    * shape so [[qualified]] can band-check it).
+    *
+    * Selection is the MEDIAN qualified session by per-session median
+    * efficiency (lower-middle on even counts — conservative), NOT the max:
+    * max-of-qualified is best-case selection over windows, the same bias
+    * the per-pair median gate kills one level down (round-6 VERDICT #3).
+    * The max is still published inside the chosen object as
+    * `scaling_efficiency_best_session`, with `sessions_qualified` for
+    * context. Returns (chosen, liveForAudit, consideredCount): liveForAudit
+    * is Some(live) only when a recorded session was chosen. */
+  def choose(liveJson: String, liveProbeThr: Double, liveProbePages: Long,
+      liveProbeCpus: Int, file: String = FILE): (String, Option[String], Int) = {
     def fmt(x: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, x)
     val live = withFields(liveJson,
-      s""""session":"live","probe_thr_local32":${fmt(liveProbeThr)}""")
+      s""""session":"live","probe_thr_local32":${fmt(liveProbeThr)}""" +
+        s""","probe_pages":$liveProbePages,"probe_cpus":$liveProbeCpus""")
     val recorded: Seq[String] = {
       val p = Paths.get(file)
       if (!Files.exists(p)) Nil
@@ -92,12 +115,15 @@ object ClusterSessions {
     val candidates = (recorded :+ live).flatMap { j =>
       try Some((j, mapper.readTree(j))) catch { case _: Exception => None }
     }
-    val best = candidates.filter(c => qualified(c._2))
-      .sortBy(c => medianOf(c._2)).lastOption
-    best match {
-      case Some((json, _)) if json != live =>
-        (json, Some(live), candidates.length)
-      case _ => (live, None, candidates.length)
+    val qual = candidates.filter(c => qualified(c._2)).sortBy(c => medianOf(c._2))
+    qual.lift((qual.length - 1) / 2) match {
+      case Some((json, _)) =>
+        val tagged = withFields(json,
+          s""""sessions_qualified":${qual.length}""" +
+            s""","scaling_efficiency_best_session":${fmt(medianOf(qual.last._2))}""")
+        if (json != live) (tagged, Some(live), candidates.length)
+        else (tagged, None, candidates.length)
+      case None => (live, None, candidates.length)
     }
   }
 }

@@ -322,18 +322,23 @@ object SparkEntry {
       SimilarityOps.embeddingDedup(embCorpus(s, d), 0.95)),
 
     "curate_corpus" -> ((s, d) => {
-      // end-to-end curation: quality-filter -> exact-dedup keepers -> tag
-      val q = TextOps.qualityCounts(t(s, d, "documents"))
+      // end-to-end curation fused to ONE scan + ONE shuffle (round-6
+      // VERDICT #6): the quality counters are pure functions of the text,
+      // so an exact-text group passes the gate all-or-nothing — filter
+      // map-side (failing rows never shuffle), then take the keeper
+      // (min doc_id) AND its counters (identical across the group) in one
+      // aggregation keyed on (length, md5) — ~36-byte shuffle key, same
+      // collision bound as DedupOps.exactDedup (expected colliding pairs
+      // n²/2^129, ignorable). Replaces the round-6 two-scan
+      // filter → keeper-groupBy → self-join plan; same rows out.
+      TextOps.qualityCounts(t(s, d, "documents"))
         .filter(col("n_tokens") >= 10 &&
           col("n_punct") * 5 <= col("n_tokens") &&
           col("n_digits") * 2 <= col("n_tokens"))
-      // keeper per distinct text, keyed on (length, md5) — ~36-byte shuffle
-      // key instead of the whole document (same collision bound as
-      // DedupOps.exactDedup: expected colliding pairs n²/2^129, ignorable)
-      val keepers = q.groupBy(length(col("text")), md5(col("text")))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      q.join(keepers, "doc_id")
+        .groupBy(length(col("text")), md5(col("text")))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min(col("n_tokens")).as("n_tokens"),
+          min(col("n_stopwords")).as("n_stopwords"))
         .select(col("doc_id"), col("n_tokens"), col("n_stopwords"))
     }),
 

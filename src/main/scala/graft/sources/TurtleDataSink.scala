@@ -266,40 +266,58 @@ private class TurtleFileWriter(path: String, jobTag: String,
     if (row.isNullAt(idx)) null else row.getUTF8String(idx).toString
   }
 
-  // liveness heartbeat (time-gated: one cheap clock read per row, one FS
-  // create per BEAT_INTERVAL_MS) — keeps the commit-side reaper from
-  // mistaking a live single-wave job for a crashed one
-  private var lastBeat = System.currentTimeMillis()
-  private def maybeBeat(): Unit = {
-    val now = System.currentTimeMillis()
-    if (now - lastBeat >= TurtleBatchWrite.BEAT_INTERVAL_MS) {
-      lastBeat = now
-      try {
+  // liveness heartbeat on a shared daemon timer, armed from writer
+  // CONSTRUCTION — not from write(): a live writer whose upstream iterator
+  // stalls > STALE_STAGING_MS between rows (a skewed upstream stage is
+  // enough) must keep beating, or a concurrent job's reaper mistakes it for
+  // a crash and deletes its staging mid-write (round-6 ADVICE). The timer
+  // also frees the row hot path of its per-row clock read. Advisory only:
+  // a beat failure never fails the task.
+  private val beatTask: java.util.concurrent.ScheduledFuture[_] =
+    TurtleFileWriter.beatScheduler.scheduleWithFixedDelay(
+      () => try {
         val b = fs.create(new org.apache.hadoop.fs.Path(
           s"$path/_temporary/$jobTag/.beat-$partitionId-$taskId"), true)
         b.close()
-      } catch { case _: Exception => () } // advisory only — never fail a task
-    }
-  }
+      } catch { case _: Exception => () },
+      0L, TurtleBatchWrite.BEAT_INTERVAL_MS,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
 
   override def write(row: InternalRow): Unit = {
     val line = TurtleDataSink.renderLine(str(row, 0), str(row, 1), str(row, 2),
       str(row, 3), str(row, 4), str(row, 5), str(row, 6))
     out.write(line.getBytes(StandardCharsets.UTF_8))
     out.write('\n')
-    maybeBeat()
   }
 
   override def commit(): WriterCommitMessage = {
+    beatTask.cancel(false)
     out.close()
     TurtleCommitMessage(staged, partitionId)
   }
 
   override def abort(): Unit = {
+    beatTask.cancel(false)
     try out.close() catch { case _: Exception => () }
     fs.delete(new org.apache.hadoop.fs.Path(staged), false)
     ()
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = { beatTask.cancel(false); () }
+}
+
+private object TurtleFileWriter {
+  /** One executor-wide daemon thread services every writer's heartbeat —
+    * beats are millisecond FS creates minutes apart, so a single thread
+    * never backs up, and tasks get no non-daemon thread that could pin a
+    * shutting-down executor JVM. */
+  val beatScheduler: java.util.concurrent.ScheduledThreadPoolExecutor = {
+    val ex = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+      val t = new Thread(r, "turtle-sink-heartbeat")
+      t.setDaemon(true)
+      t
+    })
+    ex.setRemoveOnCancelPolicy(true)
+    ex
+  }
 }

@@ -52,7 +52,8 @@ import scala.jdk.CollectionConverters._
   * rows too.
   */
 private class TurtleMicroBatchStream(path: String, maxBytes: Long,
-    minAgeMs: Long, checkpointLocation: String, compactTail: Int)
+    minAgeMs: Long, checkpointLocation: String, compactTail: Int,
+    fullRescanEvery: Int = TurtleMicroBatchStream.DEFAULT_FULL_RESCAN_EVERY)
     extends MicroBatchStream {
   import TurtleMicroBatchStream.{FULL_EVERY, RETAIN_VERSIONS}
 
@@ -115,13 +116,43 @@ private class TurtleMicroBatchStream(path: String, maxBytes: Long,
 
   override def initialOffset(): Offset = TurtleOffset(-1L, Nil)
 
+  // --- discovery state (driver-side, rebuilt by the first trigger's full
+  // rescan after restart): `known` holds the visible files NOT yet folded
+  // into the registry (compaction prunes it), `watermark` the max accepted
+  // mtime. Incremental triggers only process entries with mtime >= watermark
+  // (inclusive: several files can share the watermark tick, and a producer
+  // can land another file in the same tick after we listed — the `known`
+  // set dedups re-accepted ties), so per-trigger discovery work is O(new
+  // arrivals + watermark ties) instead of the round-6 O(directory size)
+  // (VERDICT #4). Every `fullRescanEvery`-th trigger rescans from scratch:
+  // the safety net for producers that RENAME files in with a preserved old
+  // mtime (invisible to the watermark — picked up within fullRescanEvery
+  // triggers, a bounded discovery delay; set fullRescanEvery=1 to restore
+  // strict per-trigger full listing for such producers).
+  private var trigger = 0L
+  private var watermark = Long.MinValue
+  private var known = Set.empty[String]
+  /** Test hook: entries that paid per-entry processing in the last
+    * [[latestOffset]] discovery pass. */
+  private[sources] var lastDiscoveryProcessed = 0
+
   // minAgeMs: grace window for non-atomic producers (a file listed
   // mid-copy would be parsed truncated and permanently marked seen).
-  // Producers that rename atomically into the dir can leave it 0.
+  // Producers that rename atomically into the dir can leave it 0. Young
+  // files (mtime above now-minAgeMs) are NOT accepted and never advance the
+  // watermark, so they are re-examined until aged — the grace window and
+  // the watermark compose.
   override def latestOffset(): Offset = {
-    val listed = TurtleDataSource.listTtlFiles(path, minAgeMs)
-    val tail = if (regVersion < 0) listed else listed.filterNot(regFiles)
-    TurtleOffset(regVersion, tail)
+    trigger += 1
+    val full = watermark == Long.MinValue || fullRescanEvery <= 1 ||
+      trigger % fullRescanEvery == 1L
+    val (accepted, maxMtime, processed) = TurtleDataSource.listTtlFilesSince(
+      path, minAgeMs, if (full) Long.MinValue else watermark)
+    lastDiscoveryProcessed = processed
+    val fresh = if (regVersion < 0) accepted else accepted.filterNot(regFiles)
+    known = if (full) fresh.toSet else known ++ fresh
+    if (maxMtime > watermark) watermark = maxMtime
+    TurtleOffset(regVersion, known.toSeq.sorted)
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -168,9 +199,15 @@ private class TurtleMicroBatchStream(path: String, maxBytes: Long,
       val prevSet: Option[Set[String]] =
         if (newV == 0 || newV % FULL_EVERY == 0) None
         else try Some(readSet(newV - 1)) catch { case _: Exception => None }
+      // A delta is only sound when prev ⊆ full: resolution unions the chain,
+      // so a shrunken `full` would silently resurrect prev's extra files as
+      // "seen" (files never processed marked done — silent data loss). All
+      // reachable paths satisfy the invariant today (seen sets only grow);
+      // if a future refactor breaks it, fall back to a FULL snapshot — a
+      // few extra bytes, never a wrong seen set (round-6 ADVICE).
       val (suffix, payload) = prevSet match {
-        case Some(prev) => ("delta", full -- prev)
-        case None       => ("compact", full)
+        case Some(prev) if prev.subsetOf(full) => ("delta", full -- prev)
+        case _                                 => ("compact", full)
       }
       val tmp = new Path(registryPath, s".$newV.$suffix.tmp")
       val dst = new Path(registryPath, s"$newV.$suffix")
@@ -184,6 +221,9 @@ private class TurtleMicroBatchStream(path: String, maxBytes: Long,
       regCache(newV) = full
       regVersion = newV
       regFiles = full
+      // the tail just folded into the registry: drop it from the discovery
+      // set so the incremental tail stays O(arrivals since compaction)
+      known = known.filterNot(regFiles)
       // prune below the newest full snapshot at or below the retention
       // window's floor — everything >= that snapshot is needed to resolve
       // some version in [newV - RETAIN_VERSIONS + 1, newV]
@@ -202,6 +242,17 @@ private class TurtleMicroBatchStream(path: String, maxBytes: Long,
             }
           }
         }
+      }
+      // a crash between create(tmp) and rename leaves `.N.suffix.tmp`
+      // orphans that versionOf ignores and the version prune never touches;
+      // sweep the ones already superseded (embedded version <= the version
+      // just published) so repeated crashes cannot accumulate them forever
+      // (round-6 ADVICE)
+      listed.foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(".") && name.endsWith(".tmp") &&
+            versionOf(name.drop(1).stripSuffix(".tmp")).exists(_ <= newV))
+          fs.delete(st.getPath, false)
       }
     }
   }
@@ -222,6 +273,13 @@ private object TurtleMicroBatchStream {
     * deltas cost O(their arrivals) each; pruning keeps the chain back to
     * the newest full snapshot at or below the window. */
   val RETAIN_VERSIONS = 8
+
+  /** Triggers between full discovery rescans (first trigger always rescans
+    * fully). Incremental triggers skip entries below the mtime watermark
+    * with one timestamp compare each; the periodic full rescan bounds the
+    * discovery delay of mtime-backdated arrivals (rename-with-old-mtime
+    * producers) to this many triggers. 1 = full listing every trigger. */
+  val DEFAULT_FULL_RESCAN_EVERY = 16
 
   /** Every FULL_EVERY-th version is a full `<v>.compact` snapshot instead
     * of a `<v>.delta`: bounds delta-chain resolution depth, and gives

@@ -86,28 +86,39 @@ class PairSelectSpec extends AnyFunSuite {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def q(json: String): Boolean = ClusterSessions.qualified(mapper.readTree(json))
     val good = """{"pairs":4,"storm_annotation":false,"steal_frac_max":0.001,
-      "probe_thr_local32":810000.0,"scaling_efficiency":0.87}"""
+      "probe_thr_local32":810000.0,"probe_pages":4000000,"probe_cpus":32,
+      "scaling_efficiency":0.87}"""
     assert(q(good))
     assert(!q(good.replace("\"pairs\":4", "\"pairs\":3")))
     assert(!q(good.replace("false", "true")))
     assert(!q(good.replace("0.001", "0.05")))
     assert(!q(good.replace("810000.0", "500000.0")))
+    // the band check is only valid at the band's own probe shape (round-6
+    // ADVICE: a non-default-shape live run must not be judged against a
+    // band measured on a different workload)
+    assert(!q(good.replace("4000000", "2000000")))
+    assert(!q(good.replace("\"probe_cpus\":32", "\"probe_cpus\":16")))
+    // missing shape fields disqualify (conservative)
+    assert(!q("""{"pairs":4,"storm_annotation":false,"steal_frac_max":0.001,
+      "probe_thr_local32":810000.0,"scaling_efficiency":0.87}"""))
     val injected = ClusterSessions.withFields("""{"a":1}""", "\"b\":2")
     assert(injected == """{"a":1,"b":2}""")
   }
 
-  test("ClusterSessions.choose picks best qualified among recorded + live") {
+  test("ClusterSessions.choose publishes the MEDIAN qualified session, max as auxiliary") {
     def sess(eff: Double, pairs: Int = 5, storm: Boolean = false,
         probe: Double = 820000.0): String =
       s"""{"pairs":$pairs,"storm_annotation":$storm,"steal_frac_max":0.001,""" +
-        s""""probe_thr_local32":$probe,"scaling_efficiency":$eff}"""
+        s""""probe_thr_local32":$probe,"probe_pages":4000000,"probe_cpus":32,""" +
+        s""""scaling_efficiency":$eff}"""
     val dir = java.nio.file.Files.createTempDirectory("css-test")
     val file = dir.resolve("sessions.jsonl").toString
     // no file at all -> live wins even if unqualified
     val liveBad = """{"pairs":4,"storm_annotation":false,"steal_frac_max":0.001,
-      "scaling_efficiency":0.30}""" // live probe injected by choose()
+      "scaling_efficiency":0.30}""" // live probe + shape injected by choose()
     locally {
-      val (chosen, liveAudit, n) = ClusterSessions.choose(liveBad, 400000.0, file)
+      val (chosen, liveAudit, n) =
+        ClusterSessions.choose(liveBad, 400000.0, 4000000L, 32, file)
       assert(liveAudit.isEmpty && n == 1)
       assert(chosen.contains("\"session\":\"live\""))
     }
@@ -116,18 +127,42 @@ class PairSelectSpec extends AnyFunSuite {
     ClusterSessions.record(sess(0.95, storm = true), file)
     ClusterSessions.record("not json", file)
     locally {
-      val (chosen, liveAudit, n) = ClusterSessions.choose(liveBad, 400000.0, file)
+      val (chosen, liveAudit, n) =
+        ClusterSessions.choose(liveBad, 400000.0, 4000000L, 32, file)
       assert(n == 3, "2 parseable recorded + live")
       assert(chosen.contains("\"scaling_efficiency\":0.84"), s"got $chosen")
+      assert(chosen.contains("\"sessions_qualified\":1"), s"got $chosen")
       assert(liveAudit.exists(_.contains("\"session\":\"live\"")),
         "live measurement must ship for audit when a recorded session wins")
     }
-    // a QUALIFIED live beats a weaker recorded session
+    // three qualified sessions -> the MEDIAN one (0.86) is the headline,
+    // NOT the max (0.93): max-of-qualified is best-case window selection
+    // (round-6 VERDICT #3). The max ships inside the chosen object.
+    ClusterSessions.record(sess(0.93), file)
+    ClusterSessions.record(sess(0.86), file)
+    locally {
+      val (chosen, _, _) =
+        ClusterSessions.choose(liveBad, 400000.0, 4000000L, 32, file)
+      assert(chosen.contains("\"scaling_efficiency\":0.86"), s"got $chosen")
+      assert(chosen.contains("\"sessions_qualified\":3"), s"got $chosen")
+      assert(chosen.contains("\"scaling_efficiency_best_session\":0.930"), s"got $chosen")
+    }
+    // even qualified count -> lower-middle (conservative): {0.84,0.86,0.90,
+    // 0.93} -> 0.86. The qualified live candidate competes like any session.
     val liveGood = """{"pairs":4,"storm_annotation":false,"steal_frac_max":0.001,
       "scaling_efficiency":0.90}"""
     locally {
-      val (chosen, liveAudit, _) = ClusterSessions.choose(liveGood, 820000.0, file)
-      assert(chosen.contains("\"session\":\"live\"") && liveAudit.isEmpty)
+      val (chosen, _, _) =
+        ClusterSessions.choose(liveGood, 820000.0, 4000000L, 32, file)
+      assert(chosen.contains("\"scaling_efficiency\":0.86"), s"got $chosen")
+      assert(chosen.contains("\"sessions_qualified\":4"), s"got $chosen")
+    }
+    // a live run at a NON-band shape is never band-qualified: recorded wins
+    locally {
+      val (chosen, liveAudit, _) =
+        ClusterSessions.choose(liveGood, 820000.0, 2000000L, 32, file)
+      assert(!chosen.contains("\"session\":\"live\""))
+      assert(liveAudit.nonEmpty)
     }
     Bench.rmTree(dir.toFile)
   }

@@ -156,6 +156,25 @@ class KgPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Materialize.readManifest(out) == (0 until Materialize.NUM_BUCKETS).toSet)
   }
 
+  test("identity bucket repartition: shuffle partition index == bucket id") {
+    import org.apache.spark.sql.functions._
+    // the write-stage scaling fix (round-7): salts invert murmur3 mod nb so
+    // every bucket gets its OWN reduce task — no empty slots, no 2-bucket
+    // tasks. This pins the inversion against Spark's actual HashPartitioning
+    // (if the partitioner's hash ever changes, this fails loudly).
+    for (nb <- Seq(7, 32, 256)) {
+      val salts = Materialize.identitySalts(nb)
+      assert(salts.distinct.length == nb)
+      val df = spark.range(2000).toDF("id")
+        .withColumn("bucket", pmod(xxhash64(col("id")), lit(nb)).cast("int"))
+      val placed = Materialize.repartitionByBucketIdentity(df, nb)
+        .select(col("bucket"), spark_partition_id().as("pid"))
+        .filter(col("bucket") =!= col("pid"))
+      assert(placed.count() == 0L,
+        s"nb=$nb: some rows landed outside their bucket's own partition")
+    }
+  }
+
   test("lost manifest cannot change bucketing: sidecar pins numBuckets") {
     val out = java.nio.file.Files.createTempDirectory("graft-sidecar").toString
     val triples = Canonicalize.canonicalizeTriples(

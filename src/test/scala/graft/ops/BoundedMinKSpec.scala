@@ -13,8 +13,8 @@ class BoundedMinKSpec extends AnyFunSuite {
     val parts =
       if (splits <= 1) Seq(ids)
       else ids.grouped(math.max(1, ids.length / splits)).toSeq
-    parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
-      .foldLeft(agg.zero)(agg.merge)
+    agg.finish(parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      .foldLeft(agg.zero)(agg.merge))
   }
 
   test("keeps exactly the cap smallest, sorted, with exact count") {
@@ -51,7 +51,28 @@ class BoundedMinKSpec extends AnyFunSuite {
 
   test("rejection fast path: ascending feed beyond the cap never grows the buffer") {
     val agg = new BoundedMinK(3)
-    val r = (1L to 100L).foldLeft(agg.zero)(agg.reduce)
+    val buf = (1L to 100L).foldLeft(agg.zero)(agg.reduce)
+    val r = agg.finish(buf)
     assert(r.cnt == 100L && r.ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("descending feed is allocation-free past the cap (in-place root eviction)") {
+    // round-6 ADVICE: the sorted-array buffer paid an O(cap) copy per accept,
+    // so a DESCENDING feed (every id accepted) cost O(rows × cap). The heap
+    // buffer evicts in place: once full, the array object never changes.
+    val agg = new BoundedMinK(16)
+    var buf = (1000L to 985L by -1).foldLeft(agg.zero)(agg.reduce) // fill to cap
+    val frozen = buf.heap
+    buf = (984L to 1L by -1).foldLeft(buf)(agg.reduce)
+    assert(buf.heap eq frozen, "accepts past the cap must mutate in place")
+    val r = agg.finish(buf)
+    assert(r.cnt == 1000L && r.ids.toSeq == (1L to 16L))
+  }
+
+  test("small groups never allocate a cap-sized buffer") {
+    val agg = new BoundedMinK(1024)
+    val buf = Seq(7L, 3L).foldLeft(agg.zero)(agg.reduce)
+    assert(buf.heap.length <= 8, "buffer must grow geometrically, not start at cap")
+    assert(agg.finish(buf).ids.toSeq == Seq(3L, 7L))
   }
 }
