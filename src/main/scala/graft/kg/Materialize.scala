@@ -165,10 +165,25 @@ object Materialize {
       val staging = s"$outDir/_staging"
       hfs.delete(new Path(staging), true)
       phase("cleanup")
-      repartitionByBucketIdentity(pending, nb)
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("bucket")
-        .parquet(s"$staging/triples")
+      // partitionBy plans a per-task SORT on the partition column unless
+      // concurrent writers are allowed; after repartitionByBucketIdentity
+      // every task holds exactly ONE bucket value, so that sort orders rows
+      // by a constant — pure CPU+spill waste that grows with the data.
+      // Allowing a small concurrent-writer budget takes the sort-free path
+      // (1 open writer per task in practice; 4 covers a task that ever sees
+      // a second value, e.g. a caller that skipped the identity repartition).
+      val cwKey = "spark.sql.maxConcurrentOutputFileWriters"
+      val prevCw = spark.conf.getOption(cwKey)
+      spark.conf.set(cwKey, "4")
+      try
+        repartitionByBucketIdentity(pending, nb)
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("bucket")
+          .parquet(s"$staging/triples")
+      finally prevCw match {
+        case Some(v) => spark.conf.set(cwKey, v)
+        case None    => spark.conf.unset(cwKey)
+      }
       phase("staging_write")
 
       // commit in groups: rename staged bucket dirs into the final table,
