@@ -311,6 +311,11 @@ object SparkEntry {
       DedupOps.simhashDedup(dupCorpus(s, d, perturb = true), 3)),
     "dedup_ngram_jaccard" -> ((s, d) =>
       DedupOps.ngramJaccardDedup(dupCorpus(s, d, perturb = true), 0.8)),
+    "dedup_spans" -> ((s, d) =>
+      // span-granularity exact dedup census (Lee et al. ACL'22): every
+      // 10-token span shared by >= 2 documents; one pass, one Exchange on
+      // (md5, len) — never span text (see DedupOps.duplicatedSpans)
+      DedupOps.duplicatedSpans(t(s, d, "documents"), 10)),
     // sampled (doc_id % 25) variants: the same LSH operators with an
     // all-pairs oracle that stays tractable at BENCH scale (sf0.1) — the
     // hash-compare axis is not pinned to the sf0.01 corpus size
@@ -1369,6 +1374,20 @@ object SparkEntry {
     // pairs; Spark never does (that is the point of LSH).
     "dedup_minhash" -> dedupJaccardOracle(50),
     "dedup_ngram_jaccard" -> dedupJaccardOracle(80),
+    // same normTokens derivation as text_ngrams; spans as 1-based inclusive
+    // list slices t[i:i+9] (10 tokens), keyed by md5 like the engine
+    "dedup_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> length(x) > 0) AS t
+           FROM documents),
+         spans AS (
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 9),
+             i -> array_to_string(t[i:i+9], ' '))) AS span
+           FROM toks WHERE len(t) >= 10)
+         SELECT md5(span) AS span_md5, length(span)::BIGINT AS span_len,
+           count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+         FROM spans GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2""",
     // SimHash verified end-to-end in pure SQL: FNV-1a + the splitmix64
     // finalizer re-implemented with mod-2^64 arithmetic (UBIGINT + HUGEINT
     // split multiplication), per-token bit votes, then ALL-PAIRS Hamming.

@@ -337,4 +337,43 @@ object DedupOps {
   /** n-gram Jaccard dedup: LSH candidates verified at a high threshold. */
   def ngramJaccardDedup(documents: DataFrame, threshold: Double = 0.8): DataFrame =
     minhashDedup(documents, threshold)
+
+  /** Corpus-level exact duplicate SPAN census — the span-granularity dedup
+    * family of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (ACL 2022): document-level dedup (exact/MinHash/SimHash
+    * above) misses the boilerplate case where distinct documents share long
+    * verbatim passages (licenses, navigation chrome, quoted posts). This
+    * censuses every k-token span (over [[TextOps.normTokens]], the shared
+    * oracle-mirrored tokenization) that appears in >= 2 distinct documents:
+    * `(span_md5, span_len, n_docs, n_occurrences)`.
+    *
+    * Scale shape — one pass, one Exchange, nothing all-pairs:
+    *  - spans are generated narrowly per document (sequence+transform over
+    *    a materialized token column — builtin, codegen'd; the lambda only
+    *    references the column, so it is not re-evaluated per element);
+    *  - the group key is `(md5(span), length(span))`, ~40 bytes, never the
+    *    span text — the same shuffle-key idiom as [[exactDedup]], with the
+    *    same ignorable collision bound (128-bit md5 AND exact length);
+    *  - the single-distinct `countDistinct(doc_id)` plans as Spark's
+    *    two-level aggregation (partial per (key, doc_id) map-side, then
+    *    count) — no Expand multiplying the shuffled rows (the lineage-agg
+    *    lesson, BENCH.md round 7).
+    * At 100 TB the census output is itself large; downstream consumers
+    * join it back by span_md5 (fingerprint join, AQE-broadcastable after
+    * a HAVING-style n_docs filter) to locate removable spans per document. */
+  def duplicatedSpans(documents: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 2, s"span width must be >= 2 tokens, got $k")
+    val toks = col("toks")
+    documents
+      .select(col("doc_id"), TextOps.normTokens(col("text")).as("toks"))
+      .where(size(toks) >= k)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k))))).as("span"))
+      .groupBy(md5(col("span")).as("span_md5"),
+        length(col("span")).cast("long").as("span_len"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .where(col("n_docs") >= 2)
+  }
 }

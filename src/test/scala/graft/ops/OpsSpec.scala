@@ -34,6 +34,39 @@ class OpsSpec extends AnyFunSuite {
       s"map-side partial aggregate missing:\n${plan.take(2000)}")
   }
 
+  test("duplicated-span census: hand-computed spans, distinct-doc semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"),     // spans(3): "a b c", "b c d"
+      (2L, "x a b c"),     // spans(3): "x a b", "a b c"
+      (3L, "a b c"),       // span(3):  "a b c"
+      (4L, "a b"),         // too short: no spans
+      (5L, "q r s t q r s") // "q r s" twice but in ONE doc -> excluded
+    ).toDF("doc_id", "text")
+    val out = DedupOps.duplicatedSpans(df, 3).collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    assert(r.getAs[String]("span_md5") ==
+      java.security.MessageDigest.getInstance("MD5").digest("a b c".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    assert(r.getAs[Long]("span_len") == 5L)
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_occurrences") == 3L)
+  }
+
+  test("duplicated-span census shuffles hash keys, no Expand, partial aggs") {
+    // scale shape: the group key is (md5(span), len) so no Exchange carries
+    // span text, and the single-distinct count must plan as the two-level
+    // aggregation (no Expand multiplying shuffled rows)
+    val plan = DedupOps.duplicatedSpans(docs, 10).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"Expand in plan:\n${plan.take(2000)}")
+    val parts = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(parts.nonEmpty && parts.forall(p => !p.contains("span#") && !p.contains("text#")),
+      s"shuffle keyed on raw text/span:\n${parts.mkString("\n")}")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"map-side partial aggregate missing:\n${plan.take(2000)}")
+  }
+
   test("minhash dedup finds injected near-duplicates with high recall") {
     import spark.implicits._
     // inject: drop last token of every 5th doc
