@@ -316,6 +316,11 @@ object SparkEntry {
       // 10-token span shared by >= 2 documents; one pass, one Exchange on
       // (md5, len) — never span text (see DedupOps.duplicatedSpans)
       DedupOps.duplicatedSpans(t(s, d, "documents"), 10)),
+    "dedup_span_coverage" -> ((s, d) =>
+      // per-document duplicated-span coverage (the removal metric): token
+      // positions covered by cross-document 10-token spans; semi join on
+      // the 32-byte md5, interval union as countDistinct over positions
+      DedupOps.spanDupCoverage(t(s, d, "documents"), 10)),
     // sampled (doc_id % 25) variants: the same LSH operators with an
     // all-pairs oracle that stays tractable at BENCH scale (sf0.1) — the
     // hash-compare axis is not pinned to the sf0.01 corpus size
@@ -1388,6 +1393,30 @@ object SparkEntry {
          SELECT md5(span) AS span_md5, length(span)::BIGINT AS span_len,
            count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
          FROM spans GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2""",
+    // positioned variant of the spans CTE; coverage = distinct token
+    // positions under any cross-document duplicated span (interval union)
+    "dedup_span_coverage" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> length(x) > 0) AS t
+           FROM documents),
+         pos AS (
+           SELECT doc_id, len(t)::BIGINT AS n_tokens, t,
+             unnest(generate_series(1, len(t) - 9)) AS i
+           FROM toks WHERE len(t) >= 10),
+         spans AS (
+           SELECT doc_id, n_tokens, i,
+             md5(array_to_string(t[i:i+9], ' ')) AS span_md5
+           FROM pos),
+         dup AS (
+           SELECT span_md5 FROM spans
+           GROUP BY span_md5 HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (
+           SELECT doc_id, n_tokens, unnest(generate_series(i, i + 9)) AS p
+           FROM spans JOIN dup USING (span_md5))
+         SELECT doc_id, max(n_tokens) AS n_tokens,
+           count(DISTINCT p) AS covered_tokens
+         FROM cov GROUP BY doc_id""",
     // SimHash verified end-to-end in pure SQL: FNV-1a + the splitmix64
     // finalizer re-implemented with mod-2^64 arithmetic (UBIGINT + HUGEINT
     // split multiplication), per-token bit votes, then ALL-PAIRS Hamming.

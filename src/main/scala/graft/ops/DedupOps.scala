@@ -376,4 +376,41 @@ object DedupOps {
         count(lit(1)).as("n_occurrences"))
       .where(col("n_docs") >= 2)
   }
+
+  /** Per-document duplicated-span COVERAGE — the actionable half of the
+    * Lee et al. span-dedup pipeline: for each document containing at least
+    * one k-token span that also appears in another document, the number of
+    * its token positions covered by such spans (`covered_tokens` out of
+    * `n_tokens`; the removal/trim decision is a threshold on the ratio).
+    *
+    * Shape: the positioned span table is derived once per branch (narrow
+    * posexplode), the duplicated-span set is the same hash-keyed census
+    * aggregation as [[duplicatedSpans]], membership is a LEFT SEMI join on
+    * the 32-byte md5 (AQE broadcasts the census side when it is small;
+    * at corpus scale it is a plain fingerprint-keyed shuffle join — never
+    * all-pairs), and coverage is an interval union computed as
+    * `countDistinct` over exploded positions — bounded by k x matched
+    * spans per document, with the usual two-level single-distinct plan. */
+  def spanDupCoverage(documents: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 2, s"span width must be >= 2 tokens, got $k")
+    val toks = col("toks")
+    val spans = documents
+      .select(col("doc_id"), TextOps.normTokens(col("text")).as("toks"))
+      .where(size(toks) >= k)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        posexplode(transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k))))))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos") + 1).cast("long").as("i"), md5(col("col")).as("span_md5"))
+    val dup = spans.groupBy(col("span_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .select(col("span_md5"))
+    spans.join(dup, Seq("span_md5"), "left_semi")
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("pos")).as("covered_tokens"))
+  }
 }

@@ -54,6 +54,23 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_occurrences") == 3L)
   }
 
+  test("span coverage: interval union over overlapping duplicated spans") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"),        // dup spans "a b c"@1, "b c d"@2 -> covers 1-4
+      (2L, "x a b c"),        // "a b c"@2 -> covers 2-4
+      (3L, "a b c"),          // "a b c"@1 -> covers 1-3
+      (5L, "q r s t q r s"),  // "q r s" twice in ONE doc -> no dup, absent
+      (6L, "a b c d a b c")   // "a b c"@1,@5 + "b c d"@2 -> union 1-7
+    ).toDF("doc_id", "text")
+    val out = DedupOps.spanDupCoverage(df, 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("covered_tokens")))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 4L, 4L), (2L, 4L, 3L), (3L, 3L, 3L), (6L, 7L, 7L)),
+      out.mkString(";"))
+  }
+
   test("duplicated-span census shuffles hash keys, no Expand, partial aggs") {
     // scale shape: the group key is (md5(span), len) so no Exchange carries
     // span text, and the single-distinct count must plan as the two-level
