@@ -413,6 +413,18 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) =>
       SimilarityOps.ivfTopK(t(s, d, "embeddings"), 8, 10)),
 
+    // --- graph analytics over the part co-purchase graph (parts sharing
+    //     an order): degree census, degree-ordered triangle counts,
+    //     integer-credit PageRank — the KG-consumer analytics tier ---
+    "graph_degrees" -> ((s, d) =>
+      GraphOps.degreeCensus(coPurchaseEdges(s, d))),
+    "graph_triangles" -> ((s, d) =>
+      GraphOps.triangleCounts(coPurchaseEdges(s, d))
+        .select(col("n").as("part_id"), col("n_triangles"))),
+    "graph_pagerank" -> ((s, d) =>
+      GraphOps.pageRankCredits(coPurchaseEdges(s, d))
+        .select(col("n").as("part_id"), col("c").as("credit"))),
+
     // --- multimodal: REAL container decode (BMP/WAV/PPM synthesized and
     //     parsed as wire formats; oracled via generator arithmetic). Page
     //     count is a FIXED 2000 (pages are synthetic — independent of the
@@ -433,6 +445,13 @@ object SparkEntry {
 
   /** Fixed page count shared by the mm_* queries AND their oracles. */
   private val MM_PAGES = 2000L
+
+  /** Part co-purchase graph: undirected edges between parts sharing an
+    * order (distinct, u < v, per-order membership capped at
+    * [[GraphOps.GROUP_CAP]] smallest part ids — inactive on TPC-H-ish
+    * orders, ≤ 7 lines each; the oracle mirrors the cap). */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    GraphOps.coOccurrenceEdges(t(s, d, "lineitem"), "l_orderkey", "l_partkey")
 
   /** Per-source training-mix weights for `mix_weighted`: numeric suffix
     * mod 4 cycles {0.25, 1.0, 1.7, 2.5} (downsample / keep / fractional
@@ -763,6 +782,18 @@ object SparkEntry {
     * as the Scala — normalized text shorter than k → one FNV fingerprint;
     * k-gram count n ≤ w → one min; else the rightmost-min of each sliding
     * window (signed 64-bit compares). */
+  /** Shared CTE prefix of the graph_* oracles: the co-purchase edge set —
+    * distinct (order, part) memberships, per-order cap of the
+    * [[GraphOps.GROUP_CAP]] SMALLEST part ids (mirrors BoundedMinK), then
+    * distinct u < v pairs within an order. */
+  private def graphEdgesSql: String =
+    s"""op AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS it FROM lineitem),
+       kept AS (SELECT g, it FROM (
+           SELECT g, it, row_number() OVER (PARTITION BY g ORDER BY it) AS rn
+           FROM op) WHERE rn <= ${GraphOps.GROUP_CAP}),
+       e AS (SELECT DISTINCT a.it AS u, b.it AS v
+             FROM kept a JOIN kept b ON a.g = b.g AND a.it < b.it)"""
+
   private def winnowOracle: String =
     """WITH norm AS (
          SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
@@ -1434,6 +1465,51 @@ object SparkEntry {
     // slot-seeded splitmix64 hashes, SIGNED 64-bit minima per (source,slot)
     // — the mergeable-Aggregator output equals a global min by definition
     "dedup_group_signature" -> groupSignatureOracle,
+    // co-purchase graph analytics: the oracle derives the SAME edge set
+    // (distinct, u < v, per-order cap mirrored as row_number <= cap over
+    // ascending part ids — BoundedMinK keeps exactly the cap smallest).
+    // Triangles are enumerated id-oriented here vs degree-oriented in
+    // GraphOps — the triangle SET is orientation-independent.
+    "graph_degrees" ->
+      s"""WITH $graphEdgesSql,
+         nodes AS (SELECT u AS n FROM e UNION ALL SELECT v FROM e),
+         deg AS (SELECT n, count(*) AS dg FROM nodes GROUP BY 1)
+         SELECT dg AS degree, count(*) AS n_nodes FROM deg GROUP BY 1""",
+    "graph_triangles" ->
+      s"""WITH $graphEdgesSql,
+         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM e e1 JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+           JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         x AS (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri)
+         SELECT n AS part_id, count(*) AS n_triangles FROM x GROUP BY 1""",
+    // integer-credit PageRank: BIGINT floor division each hop on BOTH
+    // sides (DuckDB `//` == Spark DIV for positive operands) — bit-exact,
+    // no float summation drift. 3 unrolled iterations, seed 1e9, damp .85.
+    "graph_pagerank" ->
+      s"""WITH $graphEdgesSql,
+         eb AS (SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e),
+         deg AS (SELECT s, count(*) AS dg FROM eb GROUP BY 1),
+         r0 AS (SELECT s AS n, CAST(1000000000 AS BIGINT) AS c FROM deg),
+         i1 AS (SELECT eb.d AS n, sum((r.c * 85) // (100 * deg.dg)) AS inc
+                FROM eb JOIN r0 r ON r.n = eb.s JOIN deg ON deg.s = eb.s
+                GROUP BY eb.d),
+         r1 AS (SELECT deg.s AS n,
+                  CAST(150000000 + coalesce(i1.inc, 0) AS BIGINT) AS c
+                FROM deg LEFT JOIN i1 ON i1.n = deg.s),
+         i2 AS (SELECT eb.d AS n, sum((r.c * 85) // (100 * deg.dg)) AS inc
+                FROM eb JOIN r1 r ON r.n = eb.s JOIN deg ON deg.s = eb.s
+                GROUP BY eb.d),
+         r2 AS (SELECT deg.s AS n,
+                  CAST(150000000 + coalesce(i2.inc, 0) AS BIGINT) AS c
+                FROM deg LEFT JOIN i2 ON i2.n = deg.s),
+         i3 AS (SELECT eb.d AS n, sum((r.c * 85) // (100 * deg.dg)) AS inc
+                FROM eb JOIN r2 r ON r.n = eb.s JOIN deg ON deg.s = eb.s
+                GROUP BY eb.d),
+         r3 AS (SELECT deg.s AS n,
+                  CAST(150000000 + coalesce(i3.inc, 0) AS BIGINT) AS c
+                FROM deg LEFT JOIN i3 ON i3.n = deg.s)
+         SELECT n AS part_id, c AS credit FROM r3""",
     // winnowing verified in SQL: k-gram polynomial hashes (wrapping 64-bit),
     // rightmost-min of every sliding window via row_number ordered
     // (hash ASC, pos DESC), distinct selected positions — equals the

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kg.SparkTestSession
+
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** groups {10:[1,2,3], 20:[2,3,4], 30:[5]} →
+    * edges (1,2)(1,3)(2,3)(2,4)(3,4); triangles {1,2,3} and {2,3,4}. */
+  private def memberships = {
+    import spark.implicits._
+    Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 2L), // dup membership row
+      (20L, 2L), (20L, 3L), (20L, 4L), (30L, 5L))
+      .toDF("g", "it")
+  }
+
+  private def edges = GraphOps.coOccurrenceEdges(memberships, "g", "it")
+
+  test("coOccurrenceEdges: distinct u<v pairs within groups, dups collapsed") {
+    val got = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
+  test("coOccurrenceEdges cap keeps the cap smallest items of a group") {
+    import spark.implicits._
+    val big = Seq.tabulate(5)(i => (1L, (5 - i).toLong)).toDF("g", "it")
+    val got = GraphOps.coOccurrenceEdges(big, "g", "it", cap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // kept = {1,2,3} (smallest 3 of 1..5) → pairs among those only
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("degreeCensus matches hand-computed histogram") {
+    // degrees: 1→2, 2→3, 3→3, 4→2 → census {2:2 nodes, 3:2 nodes}
+    val got = GraphOps.degreeCensus(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(2L -> 2L, 3L -> 2L))
+  }
+
+  test("triangleCounts matches hand-computed per-node counts") {
+    // triangles {1,2,3}, {2,3,4} → 1:1, 2:2, 3:2, 4:1
+    val got = GraphOps.triangleCounts(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangleCounts is partition-invariant") {
+    val base = GraphOps.triangleCounts(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val re = GraphOps.triangleCounts(edges.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base == re)
+  }
+
+  test("pageRankCredits: exact hand-computed 1-iteration credits") {
+    import spark.implicits._
+    // path graph 1—2—3: deg 1,2,1. seed=1000, damp 80/100 → base=200.
+    // sends: node1 → 2: 1000*80/(100*1) = 800; node3 → 2: 800;
+    //        node2 → each of 1,3: 1000*80/(100*2) = 400.
+    // r1: n1 = 200+400 = 600, n2 = 200+1600 = 1800, n3 = 600.
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val got = GraphOps.pageRankCredits(e, iters = 1, seed = 1000L,
+      dampNum = 80L, dampDen = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 600L, 2L -> 1800L, 3L -> 600L))
+  }
+
+  test("pageRankCredits conserves credit up to floor leakage, and is " +
+    "partition-invariant") {
+    val n = edges.select("u").union(edges.select("v")).distinct().count()
+    val pr = GraphOps.pageRankCredits(edges, iters = 3)
+    val rows = pr.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = rows.map(_._2).sum
+    // each hop every node leaks < deg integer units to flooring; 3 hops on
+    // this 5-node graph → total within [N*seed - tiny, N*seed]
+    assert(total <= n * 1000000000L)
+    assert(total > (n * 1000000000L * 999L) / 1000L,
+      s"floor leakage too large: $total of ${n * 1000000000L}")
+    val re = GraphOps.pageRankCredits(edges.repartition(5), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.toSet == re, "integer PageRank must be partition-invariant")
+  }
+
+  test("triangle plan: keyed equi-joins only, no cartesian product") {
+    val plan = GraphOps.triangleCounts(edges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"triangle join degenerated to a cartesian:\n${plan.take(2000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle join degenerated to a BNLJ:\n${plan.take(2000)}")
+  }
+}
