@@ -237,6 +237,11 @@ object SparkEntry {
       // source-level composition + quality gate (domain filtering):
       // threshold 150 chars splits the synthetic sources 17 kept / 3 not
       TextOps.sourceStats(t(s, d, "documents"), shortChars = 150)),
+    "text_index_stats" -> ((s, d) =>
+      // inverted-index statistics: (doc, term) tf + vocabulary df — the
+      // integer TF-IDF/BM25 backbone; df derived from tf (one scan), AQE
+      // broadcasts the vocabulary-sized df side of the join
+      TextOps.docTermStats(t(s, d, "documents"))),
     "text_ngrams" -> ((s, d) => {
       // corpus trigram counts (LM-statistics / contamination primitive):
       // explode → map-side-combined count → TakeOrdered top-100 with a
@@ -1516,6 +1521,18 @@ object SparkEntry {
     // sequential minIdx!=last dedup because the rightmost-min index is
     // non-decreasing as the window slides
     "text_winnow" -> winnowOracle,
+    // inverted-index stats: df computed FROM the tf relation (rows already
+    // distinct (doc, term)) on both sides; minDf = 2 as HAVING
+    "text_index_stats" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> length(x) > 0)) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf
+                GROUP BY 1 HAVING count(*) >= 2)
+         SELECT tf.doc_id, tf.term, tf.tf, df.df FROM tf JOIN df USING (term)""",
     "text_ngrams" ->
       """WITH toks AS (
            SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

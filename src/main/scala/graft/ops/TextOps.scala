@@ -99,6 +99,28 @@ object TextOps {
   def normTokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)
 
+  /** Inverted-index statistics: the document-term matrix with per-term
+    * document frequency — the integer backbone of TF-IDF/BM25 scoring and
+    * search-index construction (the float score itself is left to the
+    * caller: engines disagree on ln() ulps, counts are bit-exact).
+    *
+    * Scale shape: ONE corpus scan. `tf` = count per (doc_id, term) via a
+    * partial-agg shuffle; `df` is derived FROM the tf relation — its rows
+    * are already distinct (doc, term) pairs, so document frequency is a
+    * plain count, never a countDistinct Expand and never a second scan.
+    * The df side is vocabulary-sized (≪ corpus), so AQE broadcasts the
+    * final join: stopword skew in tf never crosses the wire. `minDf`
+    * prunes hapax noise before the join. */
+  def docTermStats(documents: DataFrame, minDf: Long = 2L): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(normTokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    tf.join(df, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"))
+  }
+
   /** Document fingerprint (md5 hex of the normalized token stream) —
     * deterministic content id for lineage/exact dedup. md5 (not xxhash64)
     * so the oracle engine computes the identical value; both are codegen'd

@@ -83,6 +83,31 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(rows.toSet == re, "integer PageRank must be partition-invariant")
   }
 
+  test("triangleCounts matches brute-force enumeration on random graphs") {
+    // adversarial cross-check of the degree-ordered orientation: the same
+    // triangle set must come out as a naive lowest-edge enumeration over
+    // the collected edge list, across random membership tables
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val nGroups = 15 + rnd.nextInt(15)
+      val rows = Seq.fill(150)(
+        (rnd.nextInt(nGroups).toLong, rnd.nextInt(20).toLong + 1L))
+      val e = GraphOps.coOccurrenceEdges(rows.toDF("g", "it"), "g", "it")
+      val edgeSet = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val adj = edgeSet.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupMap(_._1)(_._2).map { case (k, vs) => k -> vs.toSet }
+      val exp = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((u, v) <- edgeSet; w <- adj(u) if w > v && adj(v).contains(w)) {
+        exp(u) += 1; exp(v) += 1; exp(w) += 1
+      }
+      val got = GraphOps.triangleCounts(e)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == exp.toMap, s"trial $trial: $got vs $exp")
+    }
+  }
+
   test("triangle plan: keyed equi-joins only, no cartesian product") {
     val plan = GraphOps.triangleCounts(edges)
       .queryExecution.executedPlan.toString

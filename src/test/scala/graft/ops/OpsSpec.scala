@@ -424,6 +424,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0).getLong(2) == 12L + 10L) // exact token sum for source a
   }
 
+  test("inverted-index stats: hand-computed tf/df, minDf prunes hapaxes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat The CAT sat"), // tf: the=2, cat=2, sat=1
+      (2L, "the dog sat"),
+      (3L, "a dog")).toDF("doc_id", "text")
+    val got = TextOps.docTermStats(df, minDf = 2L)
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // df: the=2, cat=1(pruned), sat=2, dog=2, a=1(pruned)
+    assert(got == Map(
+      (1L, "the") -> (2L, 2L), (1L, "sat") -> (1L, 2L),
+      (2L, "the") -> (1L, 2L), (2L, "sat") -> (1L, 2L),
+      (2L, "dog") -> (1L, 2L), (3L, "dog") -> (1L, 2L)))
+  }
+
   test("winnowing: shared long substrings share fingerprints") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"
     val b = "INTRO " + a + " OUTRO padding text here"
