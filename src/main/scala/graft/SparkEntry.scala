@@ -242,6 +242,17 @@ object SparkEntry {
       // integer TF-IDF/BM25 backbone; df derived from tf (one scan), AQE
       // broadcasts the vocabulary-sized df side of the join
       TextOps.docTermStats(t(s, d, "documents"))),
+    "text_collocations" -> ((s, d) =>
+      // PMI/LLR collocation backbone: adjacent-bigram counts + unigram
+      // marginals + corpus total, all integers, from ONE scan and ONE
+      // token-scale shuffle (marginals derived from the pair aggregate
+      // via a last-token marker row, ReusedExchange)
+      TextOps.collocationStats(t(s, d, "documents"), minPair = 5L)),
+    "stats_quantiles" -> ((s, d) =>
+      // threshold-derivation primitive: exact per-source n_chars
+      // quantiles from the value histogram — no per-row sort, no
+      // approx_percentile
+      StatsOps.groupQuantiles(t(s, d, "documents"), "source", "n_chars")),
     "text_ngrams" -> ((s, d) => {
       // corpus trigram counts (LM-statistics / contamination primitive):
       // explode → map-side-combined count → TakeOrdered top-100 with a
@@ -1521,6 +1532,50 @@ object SparkEntry {
     // sequential minIdx!=last dedup because the rightmost-min index is
     // non-decreasing as the window slides
     "text_winnow" -> winnowOracle,
+    // collocation stats: unigram marginals computed from a plain unnest
+    // (independent of the engine's last-token-marker derivation); bigrams
+    // joined as 'w1 w2' strings — tokens are [a-z0-9]+ so the space is
+    // unambiguous
+    "text_collocations" ->
+      """WITH toks AS (
+           SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> length(x) > 0) AS t
+           FROM documents),
+         ucnt AS (
+           SELECT w, count(*) AS n FROM (SELECT unnest(t) AS w FROM toks)
+           GROUP BY 1),
+         bi AS (
+           SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1])) AS b
+           FROM toks WHERE len(t) >= 2),
+         pcnt AS (
+           SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+             count(*) AS n_pair
+           FROM bi GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT p.w1, p.w2, p.n_pair, u1.n AS n_w1, u2.n AS n_w2,
+           CAST((SELECT sum(n) FROM ucnt) AS BIGINT) AS n_tokens
+         FROM pcnt p
+         JOIN ucnt u1 ON p.w1 = u1.w
+         JOIN ucnt u2 ON p.w2 = u2.w""",
+    // exact per-source n_chars quantiles: DuckDB's quantile_disc is
+    // rank = ceil(q*n) under exact rational arithmetic (probed at the
+    // 0.9*10 / 0.99*100 float-boundary traps), the same spec as
+    // StatsOps.groupQuantiles' integer ranks
+    "stats_quantiles" ->
+      """WITH agg AS (
+           SELECT source,
+             quantile_disc(n_chars, 0.250) AS q250,
+             quantile_disc(n_chars, 0.500) AS q500,
+             quantile_disc(n_chars, 0.750) AS q750,
+             quantile_disc(n_chars, 0.900) AS q900,
+             quantile_disc(n_chars, 0.990) AS q990,
+             count(*) AS n_rows
+           FROM documents GROUP BY source)
+         SELECT source, CAST(q AS BIGINT) AS q_permille,
+           CASE q WHEN 250 THEN q250 WHEN 500 THEN q500 WHEN 750 THEN q750
+                  WHEN 900 THEN q900 ELSE q990 END AS quantile_value,
+           n_rows
+         FROM agg, (SELECT unnest([250, 500, 750, 900, 990]) AS q)""",
     // inverted-index stats: df computed FROM the tf relation (rows already
     // distinct (doc, term)) on both sides; minDf = 2 as HAVING
     "text_index_stats" ->

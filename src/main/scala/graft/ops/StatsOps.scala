@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics over pipeline tables — the primitives a curation
+  * loop needs to DERIVE its thresholds (length gates, quality cutoffs)
+  * instead of hard-coding them.
+  */
+object StatsOps {
+
+  /** Exact per-group discrete quantiles of an integer-valued column,
+    * computed from the (group, value) count histogram — never a per-row
+    * sort. Output: one row per (group, quantile) with the discrete
+    * quantile value (smallest v whose cumulative count reaches
+    * ceil(q·n), q expressed in permille so every rank is exact integer
+    * arithmetic — no float ceil off-by-ones) and the group's row count.
+    *
+    * Scale shape: the only corpus-scale operation is the partial-agg
+    * histogram `groupBy(group, value)` — integer-valued pipeline columns
+    * (lengths, token counts, scores) have distinct-value cardinality
+    * orders of magnitude below row count, so everything downstream (the
+    * per-group cumulative window, the rank pick) runs on the compact
+    * histogram relation. This is how a 100 TB corpus gets exact — not
+    * approx_percentile — quantiles: the full sort that makes exact
+    * quantiles "expensive" never happens.
+    */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     qPermille: Seq[Int] = Seq(250, 500, 750, 900, 990)): DataFrame = {
+    require(qPermille.nonEmpty && qPermille.forall(q => q > 0 && q <= 1000),
+      s"quantiles must be permille in (0, 1000]: $qPermille")
+    val hist = df.groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val byGroup = Window.partitionBy(col(groupCol))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(byGroup.orderBy(col("v"))))
+      .withColumn("n", sum(col("cnt")).over(byGroup))
+    // rank of quantile q‰ in a group of n rows: ceil(q*n/1000), exact in
+    // integer arithmetic; the histogram row holding that rank is the one
+    // where the cumulative count first reaches it
+    // `div`, not `/`: Spark's `/` on longs is double division — exact
+    // integer ranks must never round through a float
+    val rank = expr("(q_permille * n + 999) div 1000")
+    cum
+      .select(col(groupCol), col("v"), col("cnt"), col("cum"), col("n"),
+        explode(array(qPermille.map(q => lit(q.toLong)): _*)).as("q_permille"))
+      .filter(col("cum") >= rank && col("cum") - col("cnt") < rank)
+      .select(col(groupCol), col("q_permille"),
+        col("v").as("quantile_value"), col("n").as("n_rows"))
+  }
+}

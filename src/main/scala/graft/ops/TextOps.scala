@@ -121,6 +121,62 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tf"), col("df"))
   }
 
+  /** Collocation statistics: adjacent-bigram counts with both unigram
+    * marginals and the corpus token total — the integer backbone of
+    * PMI / log-likelihood-ratio phrase detection (the float score is the
+    * caller's: engines disagree on ln() ulps, counts are bit-exact).
+    * Output: (w1, w2, n_pair, n_w1, n_w2, n_tokens), n_pair ≥ minPair.
+    *
+    * Scale shape: ONE corpus scan, ONE token-scale shuffle. Each document
+    * emits its adjacent bigrams plus a single last-token marker row
+    * (w2 = null); after the counted aggregation, the unigram count of w
+    * is exactly sum over w1 = w of n (times w was followed by something,
+    * plus once per document where it was last), and the corpus total is
+    * sum(n) — so marginals AND total come from the pair-vocabulary-sized
+    * aggregate, never a second corpus scan or a second explode. All four
+    * consumers of that aggregate must read the SAME shuffle for that to
+    * hold (asserted in OpsSpec: one Generate in the final plan), which
+    * dictates two non-obvious choices: the marker rows are dropped by the
+    * inner JOIN itself (null w2 probes match nothing), never by an
+    * explicit isNotNull filter — a filter on a grouping key pushes
+    * through the aggregate into the scan and forks the subtree out of
+    * exchange reuse; and the marginal joins use null-safe equality for
+    * the same reason (equi-join inference plants isnotnull filters on
+    * both sides). The minPair filter is on the aggregated count, which
+    * cannot push below the exchange. Marginal sides are vocabulary-sized,
+    * so AQE broadcasts them and stopword skew never re-shuffles. */
+  def collocationStats(documents: DataFrame, minPair: Long = 5L): DataFrame = {
+    // materialize the token array as a column BEFORE the higher-order
+    // lambdas: subexpressions are not eliminated across transform()
+    // boundaries (same lesson as the trigram query — 13 s → 0.4 s)
+    val toks = documents.select(normTokens(col("text")).as("t"))
+    val t = col("t")
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val lastTok = when(size(t) >= 1,
+      array(struct(element_at(t, -1).as("w1"),
+        lit(null).cast("string").as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val counted = toks
+      .select(explode(concat(bigrams, lastTok)).as("e"))
+      .groupBy(col("e.w1").as("w1"), col("e.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+    val uni = counted.groupBy(col("w1").as("w")).agg(sum(col("n")).as("n_w"))
+    val total = counted.agg(sum(col("n")).as("n_tokens"))
+    counted
+      .filter(col("n") >= minPair)
+      .withColumnRenamed("n", "n_pair")
+      .join(uni.select(col("w").as("u1"), col("n_w").as("n_w1")),
+        col("w1") <=> col("u1"))
+      .join(uni.select(col("w").as("u2"), col("n_w").as("n_w2")),
+        col("w2") <=> col("u2"))
+      .crossJoin(total)
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+        col("n_w2"), col("n_tokens"))
+  }
+
   /** Document fingerprint (md5 hex of the normalized token stream) —
     * deterministic content id for lineage/exact dedup. md5 (not xxhash64)
     * so the oracle engine computes the identical value; both are codegen'd

@@ -441,6 +441,77 @@ class OpsSpec extends AnyFunSuite {
       (2L, "dog") -> (1L, 2L), (3L, "dog") -> (1L, 2L)))
   }
 
+  test("collocation stats: hand-computed bigram counts and unigram marginals") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "new york new york city"), // bigrams: new-york x2, york-new, york-city
+      (2L, "new york"),
+      (3L, "city")).toDF("doc_id", "text")
+    val got = TextOps.collocationStats(df, minPair = 2L)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // unigrams: new=3, york=3, city=2; total=8; only new-york reaches 3
+    assert(got == Map(("new", "york") -> (3L, 3L, 3L, 8L)))
+    // single-token and empty docs contribute marginals, never bigrams
+    val singlesDf = Seq((1L, "a b a b"), (2L, "b"), (3L, "")).toDF("doc_id", "text")
+    val all = TextOps.collocationStats(singlesDf, minPair = 1L).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(all == Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+  }
+
+  test("collocation plan: marginals and total reuse the pair-count exchange") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => (i.toLong, "a b c a b d e a b"))
+      .toDF("doc_id", "text")
+    val q = TextOps.collocationStats(df, minPair = 2L)
+    assert(q.collect().nonEmpty)
+    // AQE reuse only shows in the FINAL adaptive plan, after execution;
+    // toString appends the pre-execution plan after "== Initial Plan =="
+    val finalPlan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = "Generate explode".r.findAllIn(finalPlan).size
+    assert(scans == 1,
+      s"expected ONE corpus explode in the final plan, got $scans:\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"),
+      "marginal/total branches must read the counted-pairs shuffle:\n" + finalPlan)
+  }
+
+  test("groupQuantiles: exact ranks on a hand-computed histogram") {
+    import spark.implicits._
+    // group a: values 1..10 once each; group b: heavy ties
+    val rows = (1 to 10).map(v => ("a", v.toLong)) ++
+      Seq.fill(9)(("b", 5L)) ++ Seq(("b", 100L))
+    val got = StatsOps.groupQuantiles(rows.toDF("g", "v"), "g", "v")
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // a: n=10, ranks ceil(q*10/1000) -> 3,5,8,9,10
+    // b: n=10, ranks 3,5,8,9 hit the 5-run; rank 10 is the 100 outlier
+    assert(got == Map(
+      ("a", 250L) -> (3L, 10L), ("a", 500L) -> (5L, 10L),
+      ("a", 750L) -> (8L, 10L), ("a", 900L) -> (9L, 10L),
+      ("a", 990L) -> (10L, 10L),
+      ("b", 250L) -> (5L, 10L), ("b", 500L) -> (5L, 10L),
+      ("b", 750L) -> (5L, 10L), ("b", 900L) -> (5L, 10L),
+      ("b", 990L) -> (100L, 10L)))
+  }
+
+  test("groupQuantiles windows the histogram, not the rows") {
+    import spark.implicits._
+    // 1000 rows but only 3 distinct values: the window input must be the
+    // 3-row histogram — asserted by the aggregate sitting BELOW the window
+    val rows = (1 to 1000).map(i => ("g", (i % 3).toLong))
+    val df = StatsOps.groupQuantiles(rows.toDF("g", "v"), "g", "v")
+    val plan = df.queryExecution.executedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      "expected Window over the HashAggregate histogram:\n" + plan)
+    assert(df.collect().length == 5)
+  }
+
   test("winnowing: shared long substrings share fingerprints") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"
     val b = "INTRO " + a + " OUTRO padding text here"
