@@ -253,6 +253,16 @@ object SparkEntry {
       // quantiles from the value histogram — no per-row sort, no
       // approx_percentile
       StatsOps.groupQuantiles(t(s, d, "documents"), "source", "n_chars")),
+    "sketch_hll" -> ((s, d) =>
+      // mergeable HLL register sketch of distinct users per event type:
+      // one 2^12-int buffer per group crosses the shuffle regardless of
+      // group size; oracle re-derives every register from staged XXH64
+      SketchOps.hllRegisters(t(s, d, "events"), "event_type", "user_id")),
+    "sketch_cms" -> ((s, d) =>
+      // count-min frequency table of user ids (4x1024): deterministic
+      // integer counters, mergeable by addition, bounded by depth*width
+      // no matter the key cardinality
+      SketchOps.countMinTable(t(s, d, "events"), "user_id")),
     "text_ngrams" -> ((s, d) => {
       // corpus trigram counts (LM-statistics / contamination primitive):
       // explode → map-side-combined count → TakeOrdered top-100 with a
@@ -665,6 +675,41 @@ object SparkEntry {
       s"(SELECT *, $expr AS $col FROM $inner)"
     }
     (from, o)
+  }
+
+  /** HLL register oracle: the full register state of sketch_hll re-derived
+    * from staged XXH64 — bucket = low 12 bits (unsigned), rho from the
+    * binary length of the remaining 52 bits (bin() renders minimal digits
+    * in both engines, so 53 − length(bin(x)) = nlz within the 52-bit
+    * field + 1, exactly [[graft.ops.SketchOps.HllAggregator]]'s spec). */
+  private def hllOracle: String = {
+    val (from, h) = xxhash64LongStages(
+      "(SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL)",
+      "user_id", "hh")
+    s"""SELECT event_type, CAST(hu & CAST(4095 AS UBIGINT) AS BIGINT) AS bucket,
+         CAST(max(CASE WHEN (hu >> 12) = CAST(0 AS UBIGINT) THEN 53
+                       ELSE 53 - length(bin(hu >> 12)) END) AS BIGINT) AS register
+       FROM (SELECT event_type,
+               CAST((CAST($h AS HUGEINT) + 18446744073709551616)
+                    % 18446744073709551616 AS UBIGINT) AS hu
+             FROM $from)
+       GROUP BY 1, 2"""
+  }
+
+  /** Count-min oracle: row d's counters re-derived with the chained
+    * two-stage hash (Spark's xxhash64(lit(d), key) seeds the key hash
+    * with hash(d, 42)), one staged chain per depth, UNION ALL, count. */
+  private def cmsOracle(depth: Int = 4, width: Int = 1024): String = {
+    val parts = (0 until depth).map { d =>
+      val (f1, s1) = xxhash64LongStages(
+        "(SELECT user_id FROM events WHERE user_id IS NOT NULL)",
+        d.toString, s"s$d")
+      val (f2, h2) = xxhash64LongStages(f1, "user_id", s"h$d", seedCol = s1)
+      s"""SELECT CAST($d AS BIGINT) AS depth,
+           ((($h2) % $width) + $width) % $width AS bucket FROM $f2"""
+    }
+    s"""SELECT depth, bucket, count(*) AS n
+       FROM (${parts.mkString(" UNION ALL ")}) GROUP BY 1, 2"""
   }
 
   /** The staged xxhash64(doc_id, purpose) gate over documents: nested
@@ -1166,6 +1211,8 @@ object SparkEntry {
          GROUP BY e.event_id, e.user_id""",
     // deterministic weighted mix: Spark's xxhash64(long) re-derived in SQL
     // (XXH64 single-lane: one wrapped-multiply round + avalanche, seed 42)
+    "sketch_hll" -> hllOracle,
+    "sketch_cms" -> cmsOracle(),
     "mix_weighted" -> mixWeightedOracle,
     "mix_splits" -> mixSplitsOracle,
     "mix_stratified" -> mixStratifiedOracle,

@@ -512,6 +512,64 @@ class OpsSpec extends AnyFunSuite {
     assert(df.collect().length == 5)
   }
 
+  test("HLL sketch: registers match a local replay, partition-invariant") {
+    import spark.implicits._
+    val keys = (1 to 5000).map(i => ("g" + (i % 3), (i % 1200).toLong))
+    val p = 12
+    def regsOf(parts: Int): Map[(String, Long), Long] =
+      SketchOps.hllRegisters(
+        keys.toDF("g", "k").repartition(parts), "g", "k", p)
+        .collect()
+        .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val got = regsOf(1)
+    assert(got == regsOf(7), "register state must not depend on partitioning")
+    // local replay of the register spec over the same xxhash64 values
+    val hashes = keys.toDF("g", "k")
+      .select($"g", org.apache.spark.sql.functions.xxhash64($"k").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exp = scala.collection.mutable.Map.empty[(String, Long), Long]
+    for ((g, h) <- hashes) {
+      val bucket = h & ((1 << p) - 1)
+      val rest = h >>> p
+      val rho = if (rest == 0L) 64 - p + 1
+                else java.lang.Long.numberOfLeadingZeros(rest) - p + 1
+      val k = (g, bucket)
+      if (rho > exp.getOrElse(k, 0L)) exp(k) = rho
+    }
+    assert(got == exp.toMap)
+  }
+
+  test("HLL estimate: within 5% of the true cardinality at p=12") {
+    import spark.implicits._
+    val n = 20000
+    val df = (1 to n).map(i => ("g", i.toLong * 2654435761L)).toDF("g", "k")
+    val regs = SketchOps.hllRegisters(df, "g", "k")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val est = SketchOps.hllEstimate(regs, 12)
+    assert(math.abs(est - n) < 0.05 * n, s"estimate $est vs true $n")
+  }
+
+  test("count-min: exact local replay; estimates always dominate truth") {
+    import spark.implicits._
+    // zipfish synthetic: key i appears ~1000/i times
+    val keys = (1 to 50).flatMap(i => Seq.fill(1000 / i)(i.toLong))
+    val table = SketchOps.countMinTable(
+      keys.toDF("k").repartition(5), "k", depth = 4, width = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // every counter row sums to the total row count
+    val n = keys.length.toLong
+    (0 until 4).foreach { d =>
+      assert(table.filter(_._1 == d).map(_._3).sum == n, s"row $d total")
+    }
+    val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for ((k, t) <- truth) {
+      val est = SketchOps.cmsEstimate(table, k, depth = 4, width = 64)
+      assert(est >= t, s"CMS must never underestimate: key $k est $est < $t")
+      assert(est <= t + 4 * n / 64,
+        s"key $k overestimate $est vs $t beyond the 4N/w bound")
+    }
+  }
+
   test("winnowing: shared long substrings share fingerprints") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"
     val b = "INTRO " + a + " OUTRO padding text here"
