@@ -253,6 +253,27 @@ object SparkEntry {
       // quantiles from the value histogram — no per-row sort, no
       // approx_percentile
       StatsOps.groupQuantiles(t(s, d, "documents"), "source", "n_chars")),
+    "stats_top_terms" -> ((s, d) => {
+      // per-source top-5 terms (domain signature / composition drift
+      // monitor): one corpus-scale count shuffle, then the ranked window
+      // runs on the compact (source, term) relation
+      val tf = t(s, d, "documents")
+        .select(col("source"), explode(TextOps.normTokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("n"))
+      StatsOps.topKPerGroup(tf, "source", "n", "term", 5)
+    }),
+    "curate_adaptive" -> ((s, d) => {
+      // data-derived curation gate: keep documents at or above their
+      // source's p25 length — the threshold comes from groupQuantiles in
+      // the SAME job (source-level relation, AQE-broadcast back), no
+      // driver round-trip, no hard-coded constant
+      val docs = t(s, d, "documents")
+      val thr = StatsOps.groupQuantiles(docs, "source", "n_chars", Seq(250))
+        .select(col("source"), col("quantile_value").as("thr"))
+      docs.join(thr, "source")
+        .filter(col("n_chars") >= col("thr"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
     "sketch_hll" -> ((s, d) =>
       // mergeable HLL register sketch of distinct users per event type:
       // one 2^12-int buffer per group crosses the shuffle regardless of
@@ -1211,6 +1232,26 @@ object SparkEntry {
          GROUP BY e.event_id, e.user_id""",
     // deterministic weighted mix: Spark's xxhash64(long) re-derived in SQL
     // (XXH64 single-lane: one wrapped-multiply round + avalanche, seed 42)
+    "stats_top_terms" ->
+      """WITH tf AS (
+           SELECT source, unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> length(x) > 0)) AS term
+           FROM documents),
+         c AS (SELECT source, term, count(*) AS n FROM tf GROUP BY 1, 2),
+         r AS (SELECT source, term, n,
+           CAST(row_number() OVER (PARTITION BY source
+             ORDER BY n DESC, term ASC) AS BIGINT) AS rk FROM c)
+         SELECT source, term, n, rk FROM r WHERE rk <= 5""",
+    // adaptive gate: per-source p25 threshold re-derived with
+    // quantile_disc (ceil(q*n) rank semantics, same as stats_quantiles)
+    "curate_adaptive" ->
+      """WITH thr AS (
+           SELECT source, quantile_disc(n_chars, 0.250) AS t
+           FROM documents GROUP BY source)
+         SELECT d.doc_id, d.source, d.n_chars
+         FROM documents d JOIN thr USING (source)
+         WHERE d.n_chars >= thr.t""",
     "sketch_hll" -> hllOracle,
     "sketch_cms" -> cmsOracle(),
     "mix_weighted" -> mixWeightedOracle,

@@ -49,4 +49,20 @@ object StatsOps {
       .select(col(groupCol), col("q_permille"),
         col("v").as("quantile_value"), col("n").as("n_rows"))
   }
+
+  /** Top-k rows per group by a count/score column, with a deterministic
+    * tiebreak column — ranked output (rank 1 = largest). The expected
+    * input is an already-AGGREGATED relation (term counts, edge weights,
+    * similarity scores): the per-group window sort then runs on compact
+    * vocabulary-scale data, and the single corpus-scale pass is whatever
+    * aggregation produced the input. Feeding raw corpus rows through this
+    * would sort them per group — aggregate first. */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                   tieCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }

@@ -512,6 +512,18 @@ class OpsSpec extends AnyFunSuite {
     assert(df.collect().length == 5)
   }
 
+  test("topKPerGroup: rank, tiebreak, and cutoff on hand-computed rows") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "x", 5L), ("a", "y", 5L), ("a", "z", 7L), ("a", "w", 1L),
+      ("b", "q", 2L)).toDF("g", "t", "n")
+    val got = StatsOps.topKPerGroup(df, "g", "n", "t", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // a: z(7)=1, then x before y at 5 (tiebreak asc); w cut; b: q=1
+    assert(got == Set(("a", "z", 7L, 1L), ("a", "x", 5L, 2L), ("b", "q", 2L, 1L)))
+  }
+
   test("HLL sketch: registers match a local replay, partition-invariant") {
     import spark.implicits._
     val keys = (1 to 5000).map(i => ("g" + (i % 3), (i % 1200).toLong))
