@@ -198,5 +198,30 @@ object EventStreams {
       .withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Windowed distinct-user HLL sketch per event type: the streaming form
+    * of [[graft.ops.SketchOps.hllRegisters]]. A streaming COUNT DISTINCT
+    * would hold one state row per distinct key per window — unbounded in
+    * the key domain; the HLL buffer caps state at 2^p ints per
+    * (window, event_type) group no matter how many users flow through,
+    * and because the aggregator is mergeable the state-store update is an
+    * element-wise max, exact across micro-batch boundaries (registers
+    * after any batch split equal the batch computation — tested). Emits
+    * the register array; estimate with [[graft.ops.SketchOps.hllEstimate]]
+    * downstream. */
+  def windowedDistinctSketch(events: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "2 hours",
+      p: Int = 12): DataFrame = {
+    val sketch = org.apache.spark.sql.functions.udaf(
+      new graft.ops.SketchOps.HllAggregator(p),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"), xxhash64(col("user_id")).as("h"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(sketch(col("h")).as("regs"))
+  }
       .drop("fp") // working column — callers get the input schema back
 }

@@ -52,6 +52,53 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("windowed HLL sketch: streamed registers equal the batch computation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val p = 12
+    // minutes 10030..10049 all fall inside the single tumbling window
+    // [10020, 10080) — the replay below assumes ONE window
+    val batch1 = (1 to 60).map(i => Event(i, ts(i % 20 + 30), i % 40, "click", 1.0))
+    val batch2 = (61 to 120).map(i => Event(i, ts(i % 20 + 30), i % 55, "click", 1.0))
+    val input = MemoryStream[Event]
+    // Complete mode: the memory sink holds exactly the final state per
+    // window (Update mode would append one partial-sketch row per
+    // micro-batch for the same window)
+    val query = windowedDistinctSketch(input.toDF(), "60 minutes", "120 minutes", p)
+      .writeStream.format("memory").queryName("hll")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // two micro-batches over the SAME window: the state-store merge
+      // (element-wise max) must leave exactly the registers a single
+      // batch pass over the union computes
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT regs FROM hll ORDER BY window.start DESC")
+        .collect()(0).getSeq[Int](0)
+      val exp = new Array[Int](1 << p)
+      val hashes = (batch1 ++ batch2).map(_.user_id).toDF("k")
+        .select(org.apache.spark.sql.functions.xxhash64($"k"))
+        .collect().map(_.getLong(0))
+      for (h <- hashes) {
+        val bucket = (h & ((1 << p) - 1)).toInt
+        val rest = h >>> p
+        val rho = if (rest == 0L) 64 - p + 1
+                  else java.lang.Long.numberOfLeadingZeros(rest) - p + 1
+        if (rho > exp(bucket)) exp(bucket) = rho
+      }
+      assert(streamed.toArray.sameElements(exp),
+        "streamed HLL state diverged from the batch register spec")
+      // sanity: estimate lands near the true 55 distinct users
+      val regs = streamed.zipWithIndex.collect {
+        case (r, b) if r > 0 => (b.toLong, r.toLong)
+      }
+      val est = graft.ops.SketchOps.hllEstimate(regs.toSeq, p)
+      assert(math.abs(est - 55.0) < 5.0, s"estimate $est vs 55")
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits updates and closes on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
