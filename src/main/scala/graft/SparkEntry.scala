@@ -471,6 +471,11 @@ object SparkEntry {
     "graph_pagerank" -> ((s, d) =>
       GraphOps.pageRankCredits(coPurchaseEdges(s, d))
         .select(col("n").as("part_id"), col("c").as("credit"))),
+    "graph_components" -> ((s, d) =>
+      // hash-min connected components; label = smallest part id in the
+      // component (deterministic integer fixpoint, oracle-exact)
+      GraphOps.connectedComponents(coPurchaseEdges(s, d))
+        .select(col("n").as("part_id"), col("component"))),
 
     // --- multimodal: REAL container decode (BMP/WAV/PPM synthesized and
     //     parsed as wire formats; oracled via generator arithmetic). Page
@@ -1614,6 +1619,21 @@ object SparkEntry {
                   CAST(150000000 + coalesce(i3.inc, 0) AS BIGINT) AS c
                 FROM deg LEFT JOIN i3 ON i3.n = deg.s)
          SELECT n AS part_id, c AS credit FROM r3""",
+    // connected components as a recursive min-reachability closure:
+    // reach(n, r) enumerates every node r reachable from n (UNION dedups
+    // across rounds, so cycles terminate); min over r = smallest node id
+    // in n's component — the same fixpoint hash-min propagation reaches.
+    // Closure size is bounded by sum of component sizes squared — fine at
+    // the sf0.01 oracle scale, and the ORACLE only (the engine side never
+    // materializes a closure).
+    "graph_components" ->
+      s"""WITH RECURSIVE $graphEdgesSql,
+         sym AS (SELECT u AS s, v AS d FROM e UNION SELECT v, u FROM e),
+         reach(n, r) AS (
+           SELECT DISTINCT s, s FROM sym
+           UNION
+           SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.n)
+         SELECT n AS part_id, min(r) AS component FROM reach GROUP BY n""",
     // winnowing verified in SQL: k-gram polynomial hashes (wrapping 64-bit),
     // rightmost-min of every sliding window via row_number ordered
     // (hash ASC, pos DESC), distinct selected positions — equals the

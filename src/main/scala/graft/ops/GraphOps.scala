@@ -126,6 +126,60 @@ object GraphOps {
       .groupBy(col("n")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Connected components of an undirected edge list: (n, component) with
+    * component = the SMALLEST node id in n's component — deterministic,
+    * partition-invariant, engine-independent (pure min, no float).
+    *
+    * Hash-min propagation WITH pointer doubling: each round first takes
+    * the neighbor minimum (one keyed join + partial-agg min shuffle, the
+    * same shape as the KG tier's
+    * [[graft.kg.Canonicalize.distributedCC]]), then shortcuts through the
+    * label graph — l(n) := l(l(n)) via a self-join keyed on the label.
+    * The shortcut halves every label-chain each round, so convergence is
+    * O(log diameter) instead of O(diameter): a 40-node path converges in
+    * ~6 rounds where plain propagation needs 40 (the KG loop can skip the
+    * doubling only because sameAs alias clusters are star-shaped). The
+    * label self-join key is skewed toward popular labels by construction —
+    * AQE skew-join splitting is on session-wide. localCheckpoint truncates
+    * lineage every round; the convergence probe is an any-change
+    * limit(1).count — O(1) result, one job. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("u").as("s"), col("v").as("d"))
+      .unionAll(edges.select(col("v").as("s"), col("u").as("d")))
+      .localCheckpoint()
+    var labels = sym.select(col("s").as("n")).distinct()
+      .withColumn("l", col("n")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels, col("s") === col("n"))
+        .select(col("d").as("m"), col("l"))
+        .unionAll(labels.select(col("n").as("m"), col("l")))
+        .groupBy(col("m")).agg(min(col("l")).as("l1"))
+      // pointer doubling: follow the label's own label. Every node id is a
+      // key of nbrMin (the union above keeps all nodes), so the left join
+      // only misses when l1(n) = n itself — coalesce covers it either way
+      val next = nbrMin.as("a")
+        .join(nbrMin.select(col("m").as("k"), col("l1").as("l2")).as("b"),
+          col("a.l1") === col("b.k"), "left")
+        .select(col("a.m").as("n"), coalesce(col("l2"), col("a.l1")).as("l"))
+        .localCheckpoint()
+      // round 0 always changes labels on any graph with an edge — skip
+      // the probe job there (same trick as the KG loop's iter<2 skip,
+      // conservative by one round because doubling converges faster)
+      val changed =
+        if (iter < 1) 1L
+        else next.select(col("n"), col("l").as("ln"))
+          .join(labels, "n")
+          .filter(col("ln") =!= col("l"))
+          .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("n"), col("l").as("component"))
+  }
+
   /** Integer-credit PageRank over an undirected edge list: every node
     * starts with `seed` credit units; each hop a node keeps
     * `seed·(dampDen−dampNum)/dampDen` as its base and sends

@@ -108,6 +108,39 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents matches union-find on random graphs and paths") {
+    import spark.implicits._
+    def ufComponents(es: Set[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      for ((u, v) <- es) {
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      es.flatMap(e => Seq(e._1, e._2)).map(n => n -> find(n)).toMap
+    }
+    val rnd = new scala.util.Random(7)
+    // sparse random graphs (many components) + a 40-node path whose
+    // diameter forces the propagation loop well past 2 iterations
+    val cases = (1 to 3).map { _ =>
+      Seq.fill(60)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter { case (u, v) => u != v }
+        .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.toSet
+    } :+ (0L until 39L).map(i => (i, i + 1)).toSet
+    for (es <- cases) {
+      val got = GraphOps.connectedComponents(
+        es.toSeq.toDF("u", "v").repartition(5))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ufComponents(es))
+    }
+  }
+
   test("triangle plan: keyed equi-joins only, no cartesian product") {
     val plan = GraphOps.triangleCounts(edges)
       .queryExecution.executedPlan.toString
