@@ -354,6 +354,13 @@ object SparkEntry {
       DedupOps.exactDedup(dupCorpus(s, d, perturb = false))),
     "dedup_minhash" -> ((s, d) =>
       DedupOps.minhashDedup(dupCorpus(s, d, perturb = true), 0.5)),
+    "dedup_collapse" -> ((s, d) => {
+      // pair emission → deduplicated corpus: connected components over
+      // the minhash duplicate pairs (chains A≈B≈C collapse together),
+      // canonical = min doc_id, singletons map to themselves
+      val corpus = dupCorpus(s, d, perturb = true)
+      DedupOps.collapseDuplicates(corpus, DedupOps.minhashDedup(corpus, 0.5))
+    }),
     "dedup_simhash" -> ((s, d) =>
       DedupOps.simhashDedup(dupCorpus(s, d, perturb = true), 3)),
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -1518,6 +1525,23 @@ object SparkEntry {
     // (inter/union)*100 toLong exactly. DuckDB brute-forces the ~151k
     // pairs; Spark never does (that is the point of LSH).
     "dedup_minhash" -> dedupJaccardOracle(50),
+    // cluster collapse: the dedup_minhash pair oracle as a subquery CTE,
+    // closed under reachability (recursive UNION dedups, cycles fine),
+    // min per component, singletons self-mapped
+    "dedup_collapse" ->
+      s"""WITH RECURSIVE corpus AS (
+           SELECT doc_id FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000000 FROM documents WHERE doc_id % 10 = 0),
+         p AS (SELECT a, b FROM (${dedupJaccardOracle(50)})),
+         sym AS (SELECT a AS s, b AS d FROM p UNION SELECT b, a FROM p),
+         reach(n, r) AS (
+           SELECT DISTINCT s, s FROM sym
+           UNION
+           SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.n),
+         comp AS (SELECT n, min(r) AS c FROM reach GROUP BY n)
+         SELECT corpus.doc_id, coalesce(comp.c, corpus.doc_id) AS canonical
+         FROM corpus LEFT JOIN comp ON comp.n = corpus.doc_id""",
     "dedup_ngram_jaccard" -> dedupJaccardOracle(80),
     // same normTokens derivation as text_ngrams; spans as 1-based inclusive
     // list slices t[i:i+9] (10 tokens), keyed by md5 like the engine

@@ -33,6 +33,29 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
       .select(col("keeper"), col("n_dups"))
 
+  /** Collapse near-duplicate PAIRS into clusters and assign every document
+    * its canonical representative — the step that turns pair emission
+    * (minhashDedup & co.) into an actually deduplicated corpus. Duplicate
+    * similarity is transitive in practice only through chains (A≈B≈C with
+    * A,C below threshold), so the correct cluster relation is the
+    * connected component of the pair graph, not the pair itself. Canonical
+    * id = smallest doc_id in the component (deterministic); documents in
+    * no pair map to themselves.
+    *
+    * Scale shape: the pair graph is output-scale (duplicates only), so the
+    * [[GraphOps.connectedComponents]] pointer-doubling loop runs on a
+    * relation much smaller than the corpus; the final assignment is one
+    * left join of the corpus against the component labels, AQE-broadcast
+    * when the duplicate set is small. */
+  def collapseDuplicates(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = GraphOps.connectedComponents(
+      pairs.select(col("a").as("u"), col("b").as("v")))
+    documents.select(col("doc_id"))
+      .join(comp.select(col("n").as("doc_id"), col("component")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical"))
+  }
+
   // ---- MinHash + LSH ---------------------------------------------------
 
   val NUM_HASHES = 16

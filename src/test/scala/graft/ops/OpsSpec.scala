@@ -512,6 +512,16 @@ class OpsSpec extends AnyFunSuite {
     assert(df.collect().length == 5)
   }
 
+  test("collapseDuplicates: chains merge transitively, singletons self-map") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    // pair graph: 1-2, 2-3 (chain), 4-5; 9 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val got = DedupOps.collapseDuplicates(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+  }
+
   test("topKPerGroup: rank, tiebreak, and cutoff on hand-computed rows") {
     import spark.implicits._
     val df = Seq(
