@@ -172,6 +172,19 @@ object SparkEntry {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_rows"),
           (sum(dec(col("l_quantity"))) * 1000000).cast("long").as("sum_qty_micro"))),
+    "q13_pivot" -> ((s, d) => {
+      // crosstab: per-source n_chars totals pivoted across the 5 langs.
+      // Explicit value list keeps the output schema static (no extra
+      // distinct-scan job); absent combos coalesce to 0 on BOTH sides so
+      // every pivot column is non-null BIGINT (mixed null/non-null columns
+      // read back as different pandas dtypes and break value hashing)
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      t(s, d, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", langs)
+        .agg(sum(col("n_chars")))
+        .select(col("source") +: langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+    }),
     "q12_profile" -> ((s, d) => {
       // column profiling with EXACT percentiles (sort-based `percentile`,
       // not approx_percentile): quartiles only, because p∈{.25,.5,.75}
@@ -354,6 +367,21 @@ object SparkEntry {
       DedupOps.exactDedup(dupCorpus(s, d, perturb = false))),
     "dedup_minhash" -> ((s, d) =>
       DedupOps.minhashDedup(dupCorpus(s, d, perturb = true), 0.5)),
+    "dedup_incremental" -> ((s, d) => {
+      // daily-ingestion shape: an arriving shard (new docs + re-crawled
+      // corpus copies + its own internal dups) against the existing
+      // corpus; survivors = min-id per fingerprint, anti-joined on
+      // fingerprints the corpus already holds
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val shard = docs.filter(col("doc_id") % 5 === 0)
+        .unionByName(docs
+          .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(2000000000L)))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(3000000000L)))
+      DedupOps.incrementalDedup(shard, corpus)
+    }),
     "dedup_collapse" -> ((s, d) => {
       // pair emission → deduplicated corpus: connected components over
       // the minhash duplicate pairs (chains A≈B≈C collapse together),
@@ -1304,6 +1332,14 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS sum_value_micro
          FROM events GROUP BY 1, 2""",
+    "q13_pivot" ->
+      """SELECT source,
+         CAST(coalesce(sum(n_chars) FILTER (lang = 'de'), 0) AS BIGINT) AS de,
+         CAST(coalesce(sum(n_chars) FILTER (lang = 'en'), 0) AS BIGINT) AS en,
+         CAST(coalesce(sum(n_chars) FILTER (lang = 'es'), 0) AS BIGINT) AS es,
+         CAST(coalesce(sum(n_chars) FILTER (lang = 'fr'), 0) AS BIGINT) AS fr,
+         CAST(coalesce(sum(n_chars) FILTER (lang = 'zh'), 0) AS BIGINT) AS zh
+         FROM documents GROUP BY source""",
     "q12_profile" ->
       """SELECT l_returnflag, count(*) AS n,
          min(qm) AS min_q, max(qm) AS max_q,
@@ -1525,6 +1561,27 @@ object SparkEntry {
     // (inter/union)*100 toLong exactly. DuckDB brute-forces the ~151k
     // pairs; Spark never does (that is the point of LSH).
     "dedup_minhash" -> dedupJaccardOracle(50),
+    // incremental dedup: same shard/corpus construction, grouped min-id
+    // per (length, md5) fingerprint, NOT EXISTS against corpus prints
+    "dedup_incremental" ->
+      """WITH corpus AS (
+           SELECT text FROM documents WHERE doc_id % 5 <> 0),
+         shard AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 2000000000, text FROM documents
+           WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 3000000000, text FROM documents
+           WHERE doc_id % 10 = 0),
+         g AS (
+           SELECT length(text) AS len, md5(text) AS h,
+             min(doc_id) AS doc_id, count(*) AS n_shard_dups
+           FROM shard GROUP BY 1, 2),
+         c AS (SELECT DISTINCT length(text) AS len, md5(text) AS h FROM corpus)
+         SELECT g.doc_id, g.n_shard_dups FROM g
+         WHERE NOT EXISTS
+           (SELECT 1 FROM c WHERE c.len = g.len AND c.h = g.h)""",
     // cluster collapse: the dedup_minhash pair oracle as a subquery CTE,
     // closed under reachability (recursive UNION dedups, cycles fine),
     // min per component, singletons self-mapped

@@ -33,6 +33,32 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
       .select(col("keeper"), col("n_dups"))
 
+  /** Incremental exact dedup: which documents of an arriving shard survive
+    * against an existing corpus — the daily-ingestion shape (a new crawl
+    * drop must not re-admit content the corpus already holds, nor its own
+    * internal duplicates). Survivors = the smallest doc_id per content
+    * fingerprint within the shard, minus any fingerprint present in the
+    * corpus. Output (doc_id, n_shard_dups): the survivor plus how many
+    * shard rows its fingerprint collapsed.
+    *
+    * Scale shape: both sides reduce to (length, md5) keys ~36 bytes/row
+    * before anything crosses the wire (same plan argument as
+    * [[exactDedup]] — text never shuffles); the corpus side collapses to
+    * DISTINCT fingerprints via partial aggregation, and the anti join is
+    * keyed — at a 10^12-doc corpus this is a fingerprint-index lookup
+    * shape, with AQE broadcasting whichever side is small (usually the
+    * daily shard). */
+  def incrementalDedup(shard: DataFrame, corpus: DataFrame): DataFrame = {
+    val key = Seq(length(col("text")).as("len"), md5(col("text")).as("h"))
+    val shardK = shard.select(col("doc_id") +: key: _*)
+    val corpusK = corpus.select(key: _*).distinct()
+    shardK
+      .groupBy(col("len"), col("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_shard_dups"))
+      .join(corpusK, Seq("len", "h"), "left_anti")
+      .select(col("doc_id"), col("n_shard_dups"))
+  }
+
   /** Collapse near-duplicate PAIRS into clusters and assign every document
     * its canonical representative — the step that turns pair emission
     * (minhashDedup & co.) into an actually deduplicated corpus. Duplicate

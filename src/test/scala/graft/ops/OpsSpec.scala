@@ -512,6 +512,24 @@ class OpsSpec extends AnyFunSuite {
     assert(df.collect().length == 5)
   }
 
+  test("incrementalDedup: corpus hits drop, shard dups collapse, text never shuffles") {
+    import spark.implicits._
+    val corpus = Seq((10L, "alpha"), (11L, "beta")).toDF("doc_id", "text")
+    val shard = Seq(
+      (1L, "alpha"),           // fingerprint already in corpus -> dropped
+      (2L, "gamma"), (5L, "gamma"), // internal dup -> min id survives, n=2
+      (3L, "delta")).toDF("doc_id", "text")
+    val out = DedupOps.incrementalDedup(shard, corpus)
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 2L, 3L -> 1L))
+    // scale property: every Exchange keys on computed fingerprints, never
+    // on a raw text column (same argument as exactDedup's plan test)
+    val plan = out.queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), s"shuffle keyed on raw text: $l")
+    }
+  }
+
   test("collapseDuplicates: chains merge transitively, singletons self-map") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
