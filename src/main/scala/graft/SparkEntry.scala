@@ -492,6 +492,11 @@ object SparkEntry {
       SimilarityOps.bruteForceTopK(t(s, d, "embeddings"), 8, 10)),
     "ann_lsh_topk" -> ((s, d) =>
       SimilarityOps.lshTopK(t(s, d, "embeddings"), 8, 10)),
+    "embed_clusters" -> ((s, d) =>
+      // corpus clustering in embedding space: per-vector cell under the
+      // deterministic fixed-point Lloyd codebook (topic bucketing /
+      // diversity sampling / IVF routing)
+      SimilarityOps.kmeansAssign(t(s, d, "embeddings"))),
     "ann_ivf_topk" -> ((s, d) =>
       SimilarityOps.ivfTopK(t(s, d, "embeddings"), 8, 10)),
 
@@ -1059,6 +1064,26 @@ object SparkEntry {
     * unrolled fixed-point Lloyd iterations ([[lloydIterSql]]), nprobe=4
     * probe cells per query (cosine desc, cell asc), candidates = vectors
     * whose final cell is probed, then the same top-k as brute force. */
+  /** Per-vector k-means assignment under the same 3-iteration unrolled
+    * fixed-point Lloyd codebook the IVF oracle derives — the vassign CTE
+    * promoted to a full query (ties broken toward the lowest cell on both
+    * sides). */
+  private def embedClustersOracle: String =
+    s"""WITH c0 AS (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                embedding AS c
+         FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 32)),
+       ${lloydIterSql("c0", "c1")},
+       ${lloydIterSql("c1", "c2")},
+       ${lloydIterSql("c2", "c3")}
+       SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
+         SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(c.c AS DOUBLE[]),
+                        CAST(e.embedding AS DOUBLE[])) DESC,
+                      c.cell ASC) AS rn
+         FROM embeddings e CROSS JOIN c3 c) WHERE rn = 1"""
+
   private def annIvfOracle: String =
     s"""WITH c0 AS (
          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
@@ -1236,6 +1261,7 @@ object SparkEntry {
     // annLshOracle/annIvfOracle scaladocs for the bit-equality argument)
     "ann_lsh_topk" -> annLshOracle,
     "ann_ivf_topk" -> annIvfOracle,
+    "embed_clusters" -> embedClustersOracle,
     // multimodal decode verified against the generator arithmetic: the
     // oracle recomputes headers/dimensions/sums in SQL from the same
     // splitmix64/FNV streams; the JVM side must ENCODE real BMP/WAV/PPM

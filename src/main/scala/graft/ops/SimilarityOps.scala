@@ -157,40 +157,26 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
-  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: a small
-    * k-means codebook (nlist cells) is trained distributed, every corpus
-    * vector is assigned to its nearest cell ONCE, and each query probes
-    * only its `nprobe` nearest cells — corpus-side cosine work drops to
-    * ~nprobe/nlist of brute force while the codebook (nlist × dim floats)
-    * stays trivially broadcastable.
-    *
-    * Training is Lloyd's algorithm with DETERMINISTIC init (the first
-    * `nlist` vectors by id): each iteration is one typed reduceGroups
-    * (map-side partial sums — one shuffle of nlist×dim doubles per
-    * iteration, independent of corpus size). At 10^9 vectors a deployment
-    * trains on a sample; the assignment pass and probe math are unchanged.
-    * Same output shape as [[bruteForceTopK]]. */
-  def ivfTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10,
-      nlist: Int = 32, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+  /** Distributed Lloyd's k-means codebook with DETERMINISTIC everything:
+    * init = the nlist lowest-id vectors (sort+limit in COLUMN space —
+    * TakeOrderedAndProject over the scan, typed decode only on the nlist
+    * survivors); updates accumulate FIXED-POINT longs (x·2^20 rounded) so
+    * integer addition's associativity makes centroids bit-identical under
+    * any shuffle merge order — double sums would drift by merge order and
+    * make every consumer nondeterministic. One typed reduceGroups per
+    * iteration: a shuffle of nlist×dim longs, independent of corpus size
+    * (at 10^9 vectors a deployment trains on a sample; assignment is
+    * unchanged). */
+  def trainCentroids(embeddings: DataFrame, nlist: Int = 32,
+      iters: Int = 3): Array[Array[Float]] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-
     val vecs = embeddings.select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
-
-    // deterministic init: the nlist lowest-id vectors — sort+limit in
-    // COLUMN space (planned as TakeOrderedAndProject over the scan, no
-    // object deserialization of the corpus), typed decode only on the
-    // nlist surviving rows
     var centroids: Array[Array[Float]] =
       embeddings.select($"vec_id".cast("long"), $"embedding")
         .orderBy($"vec_id").limit(nlist)
         .as[(Long, Array[Float])].collect().map(_._2)
-    require(centroids.nonEmpty, "ivfTopK needs a non-empty embeddings table")
-
-    // Lloyd updates accumulate FIXED-POINT longs (x * 2^20 rounded):
-    // integer addition is associative/commutative, so centroids are
-    // bit-identical regardless of shuffle merge order — double sums would
-    // drift by merge order and make the whole index nondeterministic.
+    require(centroids.nonEmpty, "trainCentroids needs a non-empty embeddings table")
     val Q = 1L << 20
     var it = 0
     while (it < iters) {
@@ -217,6 +203,45 @@ object SimilarityOps {
       cb.destroy()
       it += 1
     }
+    centroids
+  }
+
+  /** Per-vector k-means cluster assignment (vec_id, cell) under the
+    * [[trainCentroids]] codebook — embedding-space corpus clustering
+    * (topic bucketing, diversity sampling, IVF cell routing). One narrow
+    * broadcast-codebook pass over the corpus; ties go to the lowest cell
+    * (same rule as the IVF index and its SQL oracle). */
+  def kmeansAssign(embeddings: DataFrame, nlist: Int = 32,
+      iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cB = spark.sparkContext.broadcast(trainCentroids(embeddings, nlist, iters))
+    embeddings.select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, nearestCell(cB.value, v).toLong) }
+      .toDF("vec_id", "cell")
+  }
+
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: a small
+    * k-means codebook (nlist cells) is trained distributed, every corpus
+    * vector is assigned to its nearest cell ONCE, and each query probes
+    * only its `nprobe` nearest cells — corpus-side cosine work drops to
+    * ~nprobe/nlist of brute force while the codebook (nlist × dim floats)
+    * stays trivially broadcastable.
+    *
+    * Training is Lloyd's algorithm with DETERMINISTIC init (the first
+    * `nlist` vectors by id): each iteration is one typed reduceGroups
+    * (map-side partial sums — one shuffle of nlist×dim doubles per
+    * iteration, independent of corpus size). At 10^9 vectors a deployment
+    * trains on a sample; the assignment pass and probe math are unchanged.
+    * Same output shape as [[bruteForceTopK]]. */
+  def ivfTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 10,
+      nlist: Int = 32, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    val vecs = embeddings.select($"vec_id".cast("long"), $"embedding").as[(Long, Array[Float])]
+    val centroids = trainCentroids(embeddings, nlist, iters)
 
     val queries = queryVectors(embeddings, numQueries)
     val cFinal = centroids

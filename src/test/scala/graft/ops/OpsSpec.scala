@@ -160,6 +160,25 @@ class OpsSpec extends AnyFunSuite {
     assert(mean >= 0.4, s"mean top-10 overlap $mean too low: $overlaps")
   }
 
+  test("kmeansAssign: every vector labeled, partition-invariant, cells agree with local replay") {
+    import spark.implicits._
+    val got = SimilarityOps.kmeansAssign(embs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val re = SimilarityOps.kmeansAssign(embs.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == re, "assignment must not depend on partitioning")
+    val n = embs.count()
+    assert(got.size == n && got.values.forall(c => c >= 0 && c < 32))
+    // local replay: nearestCell over the driver-side codebook
+    val cs = SimilarityOps.trainCentroids(embs)
+    val vecs = embs.select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val exp = vecs.map { case (id, v) =>
+      id -> SimilarityOps.nearestCell(cs, v).toLong
+    }.toMap
+    assert(got == exp)
+  }
+
   test("IVF ANN has reasonable top-10 overlap with brute force") {
     import spark.implicits._
     val brute = SimilarityOps.bruteForceTopK(embs, 8, 10)
