@@ -470,6 +470,11 @@ object SparkEntry {
         .groupBy(col("event_id"), col("user_id"))
         .agg(count(col("r_event_id")).as("n_clicks"))
     }),
+    "mix_budget" -> ((s, d) =>
+      // per-source TOKEN budget: deterministic doc_id-ordered prefix whose
+      // cumulative token count fits 800 tokens (~55% of each source's
+      // 1.3-1.5k total at sf0.01 — the budget bites on every source)
+      MixOps.budgetSelect(t(s, d, "documents"), budgetTokens = 800L)),
     "mix_weighted" -> ((s, d) =>
       MixOps.weightedMix(
         t(s, d, "documents").select(col("doc_id"), col("source")),
@@ -1320,6 +1325,22 @@ object SparkEntry {
          WHERE d.n_chars >= thr.t""",
     "sketch_hll" -> hllOracle,
     "sketch_cms" -> cmsOracle(),
+    // token-budget prefix: same whitespace token count as text_tokens,
+    // windowed prefix sum per source, inclusive-budget filter
+    "mix_budget" ->
+      """WITH tok AS (
+           SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+'))
+             END::BIGINT AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                  AS BIGINT) AS cum_tokens
+           FROM tok)
+         SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens <= 800""",
     "mix_weighted" -> mixWeightedOracle,
     "mix_splits" -> mixSplitsOracle,
     "mix_stratified" -> mixStratifiedOracle,

@@ -37,6 +37,30 @@ object MixOps {
   private def quantized(m: Map[String, Double]): Column =
     typedLit(m.map { case (k, v) => k -> math.round(v * BUCKETS) })
 
+  /** Token-budget selection: the deterministic prefix of each source (by
+    * doc_id order) whose cumulative token count fits the budget — how a
+    * training mixture caps a source's contribution in TOKENS rather than
+    * documents (budget semantics: a document is kept iff the running total
+    * INCLUDING it is within budget). Output carries (n_tokens, cum_tokens)
+    * for mixture accounting.
+    *
+    * Scale shape: the windowed prefix sum runs over the 3-column
+    * (doc_id, source, n_tokens) projection — ~24 bytes/row crosses the
+    * source-keyed shuffle, never text. The per-source sort is inherent to
+    * DETERMINISTIC budgeting (a reproducible mixture needs a total order);
+    * a run that doesn't care which documents fill the budget could use a
+    * count-based two-phase cut instead and skip the sort. */
+  def budgetSelect(documents: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
   /** Keep each row with its stratum's probability (strata missing from
     * `rates` are dropped). A narrow filter — no shuffle, pushes past
     * column pruning to the scan. */

@@ -531,6 +531,24 @@ class OpsSpec extends AnyFunSuite {
     assert(df.collect().length == 5)
   }
 
+  test("budgetSelect: inclusive prefix per source, text never shuffles") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "one two three"),      // 3 tokens, cum 3
+      (2L, "a", "four five"),          // 2, cum 5
+      (3L, "a", "six seven eight"),    // 3, cum 8 > 7 -> cut
+      (1L, "b", "x")).toDF("doc_id", "source", "text")
+    val out = MixOps.budgetSelect(df, 7L)
+    val got = out.collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      (1L, "a") -> (3L, 3L), (2L, "a") -> (2L, 5L), (1L, "b") -> (1L, 1L)))
+    val plan = out.queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), s"shuffle carries raw text: $l")
+    }
+  }
+
   test("incrementalDedup: corpus hits drop, shard dups collapse, text never shuffles") {
     import spark.implicits._
     val corpus = Seq((10L, "alpha"), (11L, "beta")).toDF("doc_id", "text")
