@@ -497,6 +497,10 @@ object SparkEntry {
       SimilarityOps.bruteForceTopK(t(s, d, "embeddings"), 8, 10)),
     "ann_lsh_topk" -> ((s, d) =>
       SimilarityOps.lshTopK(t(s, d, "embeddings"), 8, 10)),
+    "embed_diverse" -> ((s, d) =>
+      // cluster-balanced diversity sample: perCell lowest ids from every
+      // k-means cell — uniform embedding-space coverage, not density
+      SimilarityOps.diverseSample(t(s, d, "embeddings"))),
     "embed_clusters" -> ((s, d) =>
       // corpus clustering in embedding space: per-vector cell under the
       // deterministic fixed-point Lloyd codebook (topic bucketing /
@@ -1267,6 +1271,13 @@ object SparkEntry {
     "ann_lsh_topk" -> annLshOracle,
     "ann_ivf_topk" -> annIvfOracle,
     "embed_clusters" -> embedClustersOracle,
+    "embed_diverse" ->
+      s"""WITH assign AS ($embedClustersOracle),
+         r AS (SELECT vec_id, cell,
+           CAST(row_number() OVER (PARTITION BY cell ORDER BY vec_id)
+                AS BIGINT) AS rk
+           FROM assign)
+         SELECT vec_id, cell, rk FROM r WHERE rk <= 4""",
     // multimodal decode verified against the generator arithmetic: the
     // oracle recomputes headers/dimensions/sums in SQL from the same
     // splitmix64/FNV streams; the JVM side must ENCODE real BMP/WAV/PPM

@@ -222,6 +222,23 @@ object SimilarityOps {
       .toDF("vec_id", "cell")
   }
 
+  /** Cluster-balanced diversity sample: up to `perCell` vectors from EVERY
+    * k-means cell (lowest vec_ids — deterministic), so the sample covers
+    * the embedding space uniformly instead of following corpus density —
+    * the selection shape behind semantic-diversity curation (dense
+    * boilerplate regions contribute the same quota as rare topics). The
+    * ranked window runs per cell over the (vec_id, cell) assignment —
+    * 16 bytes/row, never embeddings. */
+  def diverseSample(embeddings: DataFrame, perCell: Int = 4,
+      nlist: Int = 32, iters: Int = 3): DataFrame = {
+    require(perCell > 0, s"perCell must be positive: $perCell")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("vec_id"))
+    kmeansAssign(embeddings, nlist, iters)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perCell)
+  }
+
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path: a small
     * k-means codebook (nlist cells) is trained distributed, every corpus
     * vector is assigned to its nearest cell ONCE, and each query probes

@@ -179,6 +179,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("diverseSample: per-cell quota, deterministic ids, covers every non-empty cell") {
+    import spark.implicits._
+    val got = SimilarityOps.diverseSample(embs, perCell = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.groupBy(_._2).values.forall(_.length <= 3))
+    // quota takes the LOWEST ids of each cell — recompute from assignment
+    val assign = SimilarityOps.kmeansAssign(embs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exp = assign.groupBy(_._2).toSeq.flatMap { case (cell, vs) =>
+      vs.map(_._1).sorted.take(3).zipWithIndex
+        .map { case (id, i) => (id, cell, i + 1L) }
+    }.toSet
+    assert(got.toSet == exp)
+  }
+
   test("IVF ANN has reasonable top-10 overlap with brute force") {
     import spark.implicits._
     val brute = SimilarityOps.bruteForceTopK(embs, 8, 10)
