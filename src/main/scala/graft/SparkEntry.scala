@@ -45,6 +45,21 @@ object SparkEntry {
       TripleExtraction.run(PagesSource.pages(s, PagesSource.countForSfDir(d)))
         .toDF().filter(col("error").isNull)
         .groupBy(col("pred")).agg(count(lit(1)).as("n"))),
+    "kg_two_hop" -> ((s, d) => {
+      // basic graph pattern over the extracted KG: the 2-hop predicate
+      // path census (?a p1 ?b . ?b p2 ?c) over distinct iri→iri triples —
+      // the SPARQL-BGP-shaped consumer query. Self-join keyed on the
+      // bridging node; hub-entity skew is AQE's skew-join case
+      val t = TripleExtraction
+        .run(PagesSource.pages(s, PagesSource.countForSfDir(d))).toDF()
+        .filter(col("error").isNull &&
+          col("subj_kind") === "iri" && col("obj_kind") === "iri")
+        .select(col("subj"), col("pred"), col("obj_value").as("obj"))
+        .distinct()
+      t.as("x").join(t.as("y"), col("x.obj") === col("y.subj"))
+        .groupBy(col("x.pred").as("p1"), col("y.pred").as("p2"))
+        .agg(count(lit(1)).as("n_paths"))
+    }),
     "kg_link" -> ((s, d) =>
       EntityLinking.run(
         TripleExtraction.run(PagesSource.pages(s, PagesSource.countForSfDir(d))))),
@@ -1265,6 +1280,15 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     KG_STATIC_ORACLES.map(n => n -> staticOracle(n)).toMap ++ Map(
+    // 2-hop path census over the reference-anchored kg_triples VALUES
+    // relation (so the oracle's triple set is the reference's, while the
+    // engine derives its own) — valid at sf0.01 like every kg_* oracle
+    "kg_two_hop" ->
+      s"""WITH t0 AS (${staticOracle("kg_triples")}),
+         t AS (SELECT DISTINCT subj, pred, obj_value AS obj FROM t0
+               WHERE error IS NULL AND subj_kind = 'iri' AND obj_kind = 'iri')
+         SELECT x.pred AS p1, y.pred AS p2, count(*) AS n_paths
+         FROM t x JOIN t y ON x.obj = y.subj GROUP BY 1, 2""",
     // SRP-LSH / IVF ANN verified end-to-end in SQL (hyperplanes + fixed-
     // point Lloyd's re-derived from the same splitmix64 arithmetic; see
     // annLshOracle/annIvfOracle scaladocs for the bit-equality argument)
