@@ -1856,9 +1856,10 @@ object SparkEntry {
              x -> length(x) > 0)) AS term
            FROM documents),
          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-         df AS (SELECT term, count(*) AS df FROM tf
-                GROUP BY 1 HAVING count(*) >= 2)
-         SELECT tf.doc_id, tf.term, tf.tf, df.df FROM tf JOIN df USING (term)""",
+         df AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+                FROM tf GROUP BY 1 HAVING count(*) >= 2)
+         SELECT tf.doc_id, tf.term, tf.tf, df.df, df.cf
+         FROM tf JOIN df USING (term)""",
     "text_ngrams" ->
       """WITH toks AS (
            SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

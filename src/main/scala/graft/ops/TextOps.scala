@@ -100,25 +100,33 @@ object TextOps {
     filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)
 
   /** Inverted-index statistics: the document-term matrix with per-term
-    * document frequency — the integer backbone of TF-IDF/BM25 scoring and
-    * search-index construction (the float score itself is left to the
-    * caller: engines disagree on ln() ulps, counts are bit-exact).
+    * document frequency AND collection frequency — the integer backbone of
+    * TF-IDF/BM25 scoring and search-index construction (the float score
+    * itself is left to the caller: engines disagree on ln() ulps, counts
+    * are bit-exact). Output: (doc_id, term, tf, df, cf).
     *
     * Scale shape: ONE corpus scan. `tf` = count per (doc_id, term) via a
-    * partial-agg shuffle; `df` is derived FROM the tf relation — its rows
-    * are already distinct (doc, term) pairs, so document frequency is a
-    * plain count, never a countDistinct Expand and never a second scan.
-    * The df side is vocabulary-sized (≪ corpus), so AQE broadcasts the
-    * final join: stopword skew in tf never crosses the wire. `minDf`
-    * prunes hapax noise before the join. */
+    * partial-agg shuffle; `df`/`cf` are derived FROM the tf relation — its
+    * rows are already distinct (doc, term) pairs, so document frequency is
+    * a plain count, never a countDistinct Expand and never a second scan.
+    * Emitting cf = sum(tf) is what KEEPS it one scan: with df alone, the
+    * optimizer pruned the unused tf count out of the df branch's copy of
+    * the aggregate, forking the subtree out of exchange reuse and
+    * re-scanning the corpus (and count(tf) canonicalizes back to count(1),
+    * so referencing the column in a COUNT doesn't help — it takes an
+    * aggregate that consumes tf's VALUE). The plan test pins ONE Generate
+    * + ReusedExchange. The df/cf side is vocabulary-sized (≪ corpus), so
+    * AQE broadcasts the final join: stopword skew in tf never crosses the
+    * wire. `minDf` prunes hapax noise before the join. */
   def docTermStats(documents: DataFrame, minDf: Long = 2L): DataFrame = {
     val tf = documents
       .select(col("doc_id"), explode(normTokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
       .filter(col("df") >= minDf)
     tf.join(df, "term")
-      .select(col("doc_id"), col("term"), col("tf"), col("df"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("cf"))
   }
 
   /** Collocation statistics: adjacent-bigram counts with both unigram

@@ -466,13 +466,35 @@ class OpsSpec extends AnyFunSuite {
       (3L, "a dog")).toDF("doc_id", "text")
     val got = TextOps.docTermStats(df, minDf = 2L)
       .collect()
-      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
-    // df: the=2, cat=1(pruned), sat=2, dog=2, a=1(pruned)
+    // df: the=2, cat=1(pruned), sat=2, dog=2, a=1(pruned); cf sums tf
     assert(got == Map(
-      (1L, "the") -> (2L, 2L), (1L, "sat") -> (1L, 2L),
-      (2L, "the") -> (1L, 2L), (2L, "sat") -> (1L, 2L),
-      (2L, "dog") -> (1L, 2L), (3L, "dog") -> (1L, 2L)))
+      (1L, "the") -> (2L, 2L, 3L), (1L, "sat") -> (1L, 2L, 2L),
+      (2L, "the") -> (1L, 2L, 3L), (2L, "sat") -> (1L, 2L, 2L),
+      (2L, "dog") -> (1L, 2L, 2L), (3L, "dog") -> (1L, 2L, 2L)))
+  }
+
+  test("index stats plan: df derives from tf — one Generate, no Expand") {
+    import spark.implicits._
+    val df = (1 to 30).map(i => (i.toLong, "the quick brown fox the lazy dog"))
+      .toDF("doc_id", "text")
+    val q = TextOps.docTermStats(df)
+    assert(q.collect().nonEmpty)
+    val finalPlan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // ONE corpus explode: df/cf aggregate FROM the tf relation (its rows
+    // are already distinct pairs), so there must be no second scan and no
+    // countDistinct Expand multiplying rows before the shuffle; the df
+    // branch must read the tf shuffle (cf = sum(tf) keeps tf alive —
+    // see docTermStats scaladoc)
+    assert("Generate explode".r.findAllIn(finalPlan).size == 1,
+      s"expected one corpus explode:\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"df branch must reuse the tf shuffle:\n$finalPlan")
+    assert(!finalPlan.contains("Expand"),
+      s"countDistinct-style Expand crept into the plan:\n$finalPlan")
   }
 
   test("collocation stats: hand-computed bigram counts and unigram marginals") {
