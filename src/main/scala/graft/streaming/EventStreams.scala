@@ -199,6 +199,29 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Windowed count-min frequency sketch of user ids: the streaming form
+    * of [[graft.ops.SketchOps.countMinTable]]. Per-key streaming counts
+    * hold one state row per distinct key per window (unbounded in the key
+    * domain); the sketch caps state at depth×width counters per window,
+    * mergeable across micro-batches by plain addition (counts are
+    * associative — streamed counters equal the batch table, tested).
+    * Point-query downstream with [[graft.ops.SketchOps.cmsEstimate]]. */
+  def windowedFrequencySketch(events: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "2 hours",
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val rows = (0 until depth).map { d =>
+      struct(lit(d.toLong).as("d"),
+        pmod(xxhash64(lit(d.toLong), col("user_id")), lit(width.toLong)).as("b"))
+    }
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(array(rows: _*)).as("e"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("e.d").as("depth"), col("e.b").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Windowed distinct-user HLL sketch per event type: the streaming form
     * of [[graft.ops.SketchOps.hllRegisters]]. A streaming COUNT DISTINCT
     * would hold one state row per distinct key per window — unbounded in

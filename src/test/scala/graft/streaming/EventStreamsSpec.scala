@@ -99,6 +99,32 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("windowed count-min sketch: streamed counters equal the batch table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = (1 to 40).map(i => Event(i, ts(i % 20 + 30), i % 9, "c", 1.0))
+    val batch2 = (41 to 90).map(i => Event(i, ts(i % 20 + 30), i % 13, "c", 1.0))
+    val input = MemoryStream[Event]
+    val query = windowedFrequencySketch(
+        input.toDF(), "60 minutes", "120 minutes", depth = 4, width = 64)
+      .writeStream.format("memory").queryName("cms")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT depth, bucket, n FROM cms")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = graft.ops.SketchOps.countMinTable(
+          (batch1 ++ batch2).map(_.user_id).toDF("user_id"), "user_id",
+          depth = 4, width = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == expected,
+        "streamed CMS counters diverged from the batch table")
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits updates and closes on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
