@@ -302,6 +302,13 @@ object SparkEntry {
         .filter(col("n_chars") >= col("thr"))
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
+    "stats_percentile_rank" -> ((s, d) =>
+      // cross-source score normalization: every document's n_chars as a
+      // permille rank WITHIN ITS SOURCE's distribution — integer-exact
+      // floor(1000·cum/n) via the histogram, corpus never sorted
+      StatsOps.percentileRanks(
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars")),
     "sketch_hll" -> ((s, d) =>
       // mergeable HLL register sketch of distinct users per event type:
       // one 2^12-int buffer per group crosses the shuffle regardless of
@@ -1360,6 +1367,21 @@ object SparkEntry {
          WHERE d.n_chars >= thr.t""",
     "sketch_hll" -> hllOracle,
     "sketch_cms" -> cmsOracle(),
+    // percentile rank: cumulative histogram counts per (source, n_chars),
+    // floor(1000*cum/n) in integer arithmetic, joined back per document
+    "stats_percentile_rank" ->
+      """WITH h AS (
+           SELECT source, n_chars AS v, count(*) AS c
+           FROM documents GROUP BY 1, 2),
+         cum AS (
+           SELECT source, v,
+             CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+           FROM h)
+         SELECT d.doc_id, d.source, d.n_chars,
+           CAST((cum.cum * 1000) // cum.n AS BIGINT) AS permille_rank
+         FROM documents d
+         JOIN cum ON cum.source = d.source AND cum.v = d.n_chars""",
     // token-budget prefix: same whitespace token count as text_tokens,
     // windowed prefix sum per source, inclusive-budget filter
     "mix_budget" ->

@@ -50,6 +50,33 @@ object StatsOps {
         col("v").as("quantile_value"), col("n").as("n_rows"))
   }
 
+  /** Integer-exact percentile rank of every row within its group:
+    * permille_rank = floor(1000 · |rows ≤ v| / n) — the cross-group score
+    * normalizer (compare a quality score against its SOURCE's distribution
+    * before applying a global threshold; raw scores aren't comparable
+    * across sources with different baselines). All-integer arithmetic, so
+    * oracle-exact — no cume_dist float.
+    *
+    * Scale shape: the histogram trick again, inverted. ONE corpus-scale
+    * partial-agg shuffle builds the (group, value) histogram; cumulative
+    * and total counts are windowed over the COMPACT histogram; every row
+    * then picks up its rank through a histogram-keyed join that AQE
+    * broadcasts. The corpus is never sorted and never re-shuffled. */
+  def percentileRanks(df: DataFrame, groupCol: String,
+                      valueCol: String): DataFrame = {
+    val hist = df.groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val byGroup = Window.partitionBy(col(groupCol))
+    val ranked = hist
+      .withColumn("cum", sum(col("cnt")).over(byGroup.orderBy(col("v"))))
+      .withColumn("n", sum(col("cnt")).over(byGroup))
+      .select(col(groupCol).as("_rk_g"), col("v").as("_rk_v"),
+        expr("(cum * 1000) div n").as("permille_rank"))
+    df.join(ranked,
+        col(groupCol) === col("_rk_g") && col(valueCol) === col("_rk_v"))
+      .drop("_rk_g", "_rk_v")
+  }
+
   /** Top-k rows per group by a count/score column, with a deterministic
     * tiebreak column — ranked output (rank 1 = largest). The expected
     * input is an already-AGGREGATED relation (term counts, edge weights,

@@ -534,6 +534,24 @@ class OpsSpec extends AnyFunSuite {
       "marginal/total branches must read the counted-pairs shuffle:\n" + finalPlan)
   }
 
+  test("percentileRanks: integer ranks with ties, histogram below the join") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "a", 40L),
+      (5L, "b", 7L)).toDF("id", "g", "v")
+    val got = StatsOps.percentileRanks(rows, "g", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // a: n=4; v=10 cum1 -> 250; v=20 cum3 -> 750 (both ties); v=40 -> 1000
+    assert(got == Map(1L -> 250L, 2L -> 750L, 3L -> 750L, 4L -> 1000L,
+      5L -> 1000L))
+    // scale property: the window input is the aggregated histogram
+    val plan = StatsOps.percentileRanks(rows, "g", "v")
+      .queryExecution.executedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0 && plan.indexOf("HashAggregate", winIdx) > winIdx,
+      "expected Window over the HashAggregate histogram:\n" + plan)
+  }
+
   test("groupQuantiles: exact ranks on a hand-computed histogram") {
     import spark.implicits._
     // group a: values 1..10 once each; group b: heavy ties
