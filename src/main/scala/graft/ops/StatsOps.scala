@@ -61,7 +61,10 @@ object StatsOps {
     * partial-agg shuffle builds the (group, value) histogram; cumulative
     * and total counts are windowed over the COMPACT histogram; every row
     * then picks up its rank through a histogram-keyed join that AQE
-    * broadcasts. The corpus is never sorted and never re-shuffled. */
+    * broadcasts. The corpus is never sorted and never re-shuffled — it IS
+    * read twice (once pruned to (group, value) for the histogram, once to
+    * emit rows), the unavoidable two passes of any derive-then-apply
+    * shape; both scans are column-pruned. */
   def percentileRanks(df: DataFrame, groupCol: String,
                       valueCol: String): DataFrame = {
     val hist = df.groupBy(col(groupCol), col(valueCol).as("v"))
