@@ -319,6 +319,11 @@ object SparkEntry {
       // integer counters, mergeable by addition, bounded by depth*width
       // no matter the key cardinality
       SketchOps.countMinTable(t(s, d, "events"), "user_id")),
+    "text_oov_rate" -> ((s, d) =>
+      // LM-statistics quality gate, integer form: permille of each doc's
+      // trigrams whose corpus frequency is < 3 (rare dictionary join —
+      // common heavy trigrams die at the join, no skew amplification)
+      TextOps.rareTrigramRate(t(s, d, "documents"))),
     "text_ngrams" -> ((s, d) => {
       // corpus trigram counts (LM-statistics / contamination primitive):
       // explode → map-side-combined count → TakeOrdered top-100 with a
@@ -1882,6 +1887,30 @@ object SparkEntry {
                 FROM tf GROUP BY 1 HAVING count(*) >= 2)
          SELECT tf.doc_id, tf.term, tf.tf, df.df, df.cf
          FROM tf JOIN df USING (term)""",
+    // rare-trigram rate: same trigram derivation as text_ngrams; rare set
+    // = corpus count < 3; left join + integer permille
+    "text_oov_rate" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> length(x) > 0) AS t
+           FROM documents),
+         dt AS (
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tri
+           FROM toks WHERE len(t) >= 3),
+         rare AS (
+           SELECT tri FROM (SELECT tri, count(*) AS n FROM dt GROUP BY 1)
+           WHERE n < 3),
+         agg AS (
+           SELECT dt.doc_id, count(*) AS n_trigrams,
+             CAST(sum(CASE WHEN rare.tri IS NULL THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_rare
+           FROM dt LEFT JOIN rare ON rare.tri = dt.tri
+           GROUP BY dt.doc_id)
+         SELECT doc_id, n_trigrams, n_rare,
+           CAST((n_rare * 1000) // n_trigrams AS BIGINT) AS rare_permille
+         FROM agg""",
     "text_ngrams" ->
       """WITH toks AS (
            SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

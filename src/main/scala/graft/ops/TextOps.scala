@@ -185,6 +185,44 @@ object TextOps {
         col("n_w2"), col("n_tokens"))
   }
 
+  /** Rare-trigram rate per document: of a document's token trigrams, the
+    * permille whose CORPUS frequency is below `rareBelow` — the
+    * integer-exact core of LM-statistics quality filtering (a document
+    * dense in corpus-rare trigrams is boilerplate noise, mangled
+    * extraction, or not the corpus language; the float LM log-prob this
+    * approximates is left out — ln() ulps aren't oracle-stable). Output:
+    * (doc_id, n_trigrams, n_rare, rare_permille), docs with ≥1 trigram.
+    *
+    * Scale shape: trigram corpus counts via one token-scale partial-agg
+    * shuffle; the rare DICTIONARY (counts < rareBelow) is
+    * trigram-vocabulary-sized; each document's trigrams then hash-join
+    * against it — common trigrams (the overwhelming share of token MASS)
+    * miss the rare dictionary and die at the join, so the skewed heavy
+    * keys never amplify. Like every derive-then-apply op the corpus is
+    * read twice, both scans pruned to (doc_id, text). */
+  def rareTrigramRate(documents: DataFrame, rareBelow: Long = 3L): DataFrame = {
+    val toks = normTokens(col("text"))
+    val tris = when(size(col("t")) >= 3,
+      transform(sequence(lit(1), size(col("t")) - 2),
+        i => concat_ws(" ", element_at(col("t"), i),
+          element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    def docTris(df: DataFrame) = df
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), explode(tris).as("tri"))
+    val corpus = docTris(documents)
+      .groupBy(col("tri")).agg(count(lit(1)).as("n"))
+      .filter(col("n") < rareBelow)
+      .select(col("tri"))
+    docTris(documents)
+      .join(corpus.withColumn("rare", lit(1L)), Seq("tri"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(coalesce(col("rare"), lit(0L))).as("n_rare"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_rare"),
+        expr("(n_rare * 1000) div n_trigrams").as("rare_permille"))
+  }
+
   /** Document fingerprint (md5 hex of the normalized token stream) —
     * deterministic content id for lineage/exact dedup. md5 (not xxhash64)
     * so the oracle engine computes the identical value; both are codegen'd

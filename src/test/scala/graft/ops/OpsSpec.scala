@@ -702,6 +702,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rareTrigramRate: hand-computed rare hits; short docs drop") {
+    import spark.implicits._
+    // "a b c d" appears 3x (its trigrams common at rareBelow=3);
+    // doc 4 shares "a b c" but adds a unique tail trigram
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c d"),
+      (4L, "a b c x y"),  // tris: "a b c"(4 total), "b c x"(1), "c x y"(1)
+      (5L, "just two")).toDF("doc_id", "text")
+    val got = TextOps.rareTrigramRate(df, rareBelow = 3L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // "a b c" count 4, "b c d" count 3 -> not rare; doc4's tail tris rare
+    assert(got == Map(
+      1L -> (2L, 0L, 0L), 2L -> (2L, 0L, 0L), 3L -> (2L, 0L, 0L),
+      4L -> (3L, 2L, 666L)))
+  }
+
   test("winnowing: shared long substrings share fingerprints") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"
     val b = "INTRO " + a + " OUTRO padding text here"
