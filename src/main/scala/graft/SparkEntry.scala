@@ -435,6 +435,13 @@ object SparkEntry {
     // hash-compare axis is not pinned to the sf0.01 corpus size
     "dedup_minhash_sampled" -> ((s, d) =>
       DedupOps.minhashDedup(dupCorpus(s, d, perturb = true, mod = 25), 0.5)),
+    "dedup_collapse_sampled" -> ((s, d) => {
+      // the cluster-collapse composition on the mod-25 subsample: keeps
+      // its all-pairs + closure oracle tractable at sf0.1, so the CC
+      // composition has a bench-scale hash-compare axis too
+      val corpus = dupCorpus(s, d, perturb = true, mod = 25)
+      DedupOps.collapseDuplicates(corpus, DedupOps.minhashDedup(corpus, 0.5))
+    }),
     "dedup_simhash_sampled" -> ((s, d) =>
       DedupOps.simhashDedup(dupCorpus(s, d, perturb = true, mod = 25), 3)),
     "dedup_embedding" -> ((s, d) =>
@@ -778,6 +785,25 @@ object SparkEntry {
     }
     (from, o)
   }
+
+  /** Cluster-collapse oracle: the (sampled) all-pairs Jaccard pair oracle
+    * as a subquery, closed under recursive reachability, min per
+    * component, singletons self-mapped. */
+  private def collapseOracle(mod: Int): String =
+    s"""WITH RECURSIVE corpus AS (
+         SELECT doc_id FROM documents WHERE doc_id % $mod = 0
+         UNION ALL
+         SELECT doc_id + 1000000000 FROM documents
+         WHERE doc_id % 10 = 0 AND doc_id % $mod = 0),
+       p AS (SELECT a, b FROM (${dedupJaccardOracle(50, mod = mod)})),
+       sym AS (SELECT a AS s, b AS d FROM p UNION SELECT b, a FROM p),
+       reach(n, r) AS (
+         SELECT DISTINCT s, s FROM sym
+         UNION
+         SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.n),
+       comp AS (SELECT n, min(r) AS c FROM reach GROUP BY n)
+       SELECT corpus.doc_id, coalesce(comp.c, corpus.doc_id) AS canonical
+       FROM corpus LEFT JOIN comp ON comp.n = corpus.doc_id"""
 
   /** HLL register oracle: the full register state of sketch_hll re-derived
     * from staged XXH64 — bucket = low 12 bits (unsigned), rho from the
@@ -1694,20 +1720,10 @@ object SparkEntry {
     // cluster collapse: the dedup_minhash pair oracle as a subquery CTE,
     // closed under reachability (recursive UNION dedups, cycles fine),
     // min per component, singletons self-mapped
-    "dedup_collapse" ->
-      s"""WITH RECURSIVE corpus AS (
-           SELECT doc_id FROM documents
-           UNION ALL
-           SELECT doc_id + 1000000000 FROM documents WHERE doc_id % 10 = 0),
-         p AS (SELECT a, b FROM (${dedupJaccardOracle(50)})),
-         sym AS (SELECT a AS s, b AS d FROM p UNION SELECT b, a FROM p),
-         reach(n, r) AS (
-           SELECT DISTINCT s, s FROM sym
-           UNION
-           SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.n),
-         comp AS (SELECT n, min(r) AS c FROM reach GROUP BY n)
-         SELECT corpus.doc_id, coalesce(comp.c, corpus.doc_id) AS canonical
-         FROM corpus LEFT JOIN comp ON comp.n = corpus.doc_id""",
+    "dedup_collapse" -> collapseOracle(1),
+    // mod-25 subsample: same closure composition with the tractable
+    // sampled all-pairs oracle — bench-scale (sf0.1) hash-compare axis
+    "dedup_collapse_sampled" -> collapseOracle(25),
     "dedup_ngram_jaccard" -> dedupJaccardOracle(80),
     // same normTokens derivation as text_ngrams; spans as 1-based inclusive
     // list slices t[i:i+9] (10 tokens), keyed by md5 like the engine
