@@ -48,17 +48,51 @@ object SparkEntry {
     "kg_two_hop" -> ((s, d) => {
       // basic graph pattern over the extracted KG: the 2-hop predicate
       // path census (?a p1 ?b . ?b p2 ?c) over distinct iri→iri triples —
-      // the SPARQL-BGP-shaped consumer query. Self-join keyed on the
-      // bridging node; hub-entity skew is AQE's skew-join case
-      val t = TripleExtraction
+      // the SPARQL-BGP-shaped consumer query. Contracted form: the path
+      // count for (p1, p2) is Σ over bridging nodes b of
+      // (#distinct triples ·→b via p1) × (#distinct triples b→· via p2),
+      // so the join runs over the COMPACT (node, pred, count) relations
+      // instead of self-joining full triple rows — the wide-string
+      // triple-pair shuffle disappears, hub-entity skew shrinks to one
+      // multiply per (b, p1, p2). Both count branches share the distinct's
+      // exchange (identical subtree → ReusedExchange), so extraction runs
+      // once. Every joined term has c1, c2 ≥ 1, so no zero-count pair can
+      // appear — row set identical to the pairwise self-join census.
+      // ONE extraction pass: each triple is exploded into its two bridge
+      // roles (side 0: arrives at b via p; side 1: leaves b via p) and a
+      // single aggregation computes both distinct-triple counts per (b, p)
+      // — countDistinct over a when() is null-skipping, so each side
+      // counts only its own role. Exchange reuse can NOT be relied on
+      // through the extraction subtree (object-typed operators never
+      // canonicalize equal — the before-plan ran extraction twice), so
+      // the compact (b, p, c1, c2) relation is localCheckpoint'ed (eager,
+      // node×pred-scale — far below the triple relation) and the pair
+      // join reads the cache. c1, c2 ≥ 1 on every joined term, so no
+      // zero-count (p1, p2) row can appear — row set identical to the
+      // original pairwise self-join census.
+      val cnts = TripleExtraction
         .run(PagesSource.pages(s, PagesSource.countForSfDir(d))).toDF()
         .filter(col("error").isNull &&
           col("subj_kind") === "iri" && col("obj_kind") === "iri")
-        .select(col("subj"), col("pred"), col("obj_value").as("obj"))
-        .distinct()
-      t.as("x").join(t.as("y"), col("x.obj") === col("y.subj"))
-        .groupBy(col("x.pred").as("p1"), col("y.pred").as("p2"))
-        .agg(count(lit(1)).as("n_paths"))
+        .select(explode(array(
+          struct(col("obj_value").as("b"), col("pred").as("p"),
+            lit(0).as("side"), col("subj").as("o")),
+          struct(col("subj").as("b"), col("pred").as("p"),
+            lit(1).as("side"), col("obj_value").as("o")))).as("e"))
+        .select(col("e.b").as("b"), col("e.p").as("p"),
+          col("e.side").as("side"), col("e.o").as("o"))
+        .groupBy(col("b"), col("p"))
+        .agg(
+          countDistinct(when(col("side") === 0, col("o"))).as("c1"),
+          countDistinct(when(col("side") === 1, col("o"))).as("c2"))
+        .localCheckpoint()
+      val x = cnts.filter(col("c1") > 0)
+        .select(col("b"), col("p").as("p1"), col("c1"))
+      val y = cnts.filter(col("c2") > 0)
+        .select(col("b"), col("p").as("p2"), col("c2"))
+      x.join(y, "b")
+        .groupBy(col("p1"), col("p2"))
+        .agg(sum(col("c1") * col("c2")).as("n_paths"))
     }),
     "kg_link" -> ((s, d) =>
       EntityLinking.run(

@@ -181,7 +181,10 @@ object DedupOps {
     val spark = documents.sparkSession
     import spark.implicits._
 
-    val docs = documents.select($"doc_id".cast("long"), $"text").as[(Long, String)]
+    // shingling + 16-hash minhash per document is the heavy narrow work —
+    // widen off the single-row-group bench scan (inert at scale, see Par)
+    val docs = Par.widen(documents.select($"doc_id".cast("long"), $"text"),
+      $"doc_id").as[(Long, String)]
     val bandsDs = docs.flatMap { case (id, text) =>
       val sig = minhashSig(wordShingles(text))
       bandKeys(sig, NUM_BANDS, BAND_ROWS).iterator.map { case (b, h) => (id, b, h) }
@@ -287,7 +290,10 @@ object DedupOps {
   def simhashDedup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val sigs = documents.select($"doc_id".cast("long"), $"text")
+    // the 64-bit-per-token signature map is the heavy narrow work — widen
+    // off the single-row-group bench scan (inert at scale, see Par)
+    val sigs = Par.widen(documents.select($"doc_id".cast("long"), $"text"),
+        $"doc_id")
       .as[(Long, String)]
       .map { case (id, t) => (id, simhash64(t)) }
       .toDF("doc_id", "sig")
@@ -413,7 +419,7 @@ object DedupOps {
   def duplicatedSpans(documents: DataFrame, k: Int = 10): DataFrame = {
     require(k >= 2, s"span width must be >= 2 tokens, got $k")
     val toks = col("toks")
-    documents
+    Par.widen(documents.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), TextOps.normTokens(col("text")).as("toks"))
       .where(size(toks) >= k)
       .select(col("doc_id"), explode(
@@ -443,7 +449,17 @@ object DedupOps {
   def spanDupCoverage(documents: DataFrame, k: Int = 10): DataFrame = {
     require(k >= 2, s"span width must be >= 2 tokens, got $k")
     val toks = col("toks")
-    val spans = documents
+    // span generation (tokenize + k-token concat + md5 per position) is the
+    // expensive narrow work; generate it ONCE and hash-repartition on the
+    // census key so BOTH consumers — the duplicated-span census and the
+    // membership probe — read the same Exchange (ReusedExchange; without
+    // it each branch re-derived the spans from its own corpus scan). The
+    // census aggregation and the semi join are already clustered by
+    // span_md5 after that exchange, so neither adds a shuffle of the span
+    // table; [[Par.widen]] parallelizes the generation itself off the
+    // single-row-group bench scan (inert at scale — see Par).
+    val spans = Par.widen(documents.select(col("doc_id"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"), TextOps.normTokens(col("text")).as("toks"))
       .where(size(toks) >= k)
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
@@ -451,6 +467,7 @@ object DedupOps {
           i => concat_ws(" ", slice(toks, i, lit(k))))))
       .select(col("doc_id"), col("n_tokens"),
         (col("pos") + 1).cast("long").as("i"), md5(col("col")).as("span_md5"))
+      .repartition(col("span_md5"))
     val dup = spans.groupBy(col("span_md5"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .where(col("n_docs") >= 2)

@@ -141,8 +141,34 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("above-gate paths match the gated fast paths (joined triangles, " +
+      "pointer-doubling components)") {
+    import spark.implicits._
+    // the public entry points route small inputs to the broadcast-CSR /
+    // local-union-find paths; pin the at-scale shapes to the same answers
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 2) {
+      val rows = Seq.fill(150)((rnd.nextInt(25).toLong, rnd.nextInt(40).toLong))
+      val e = GraphOps.coOccurrenceEdges(rows.toDF("g", "it"), "g", "it")
+      val fast = GraphOps.triangleCounts(e)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val joined = GraphOps.triangleCountsJoined(e)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(joined == fast, s"trial $trial: joined $joined vs fast $fast")
+    }
+    // 40-node path: diameter forces the doubling loop well past 2 rounds
+    val path = (0L until 39L).map(i => (i, i + 1)).toDF("u", "v")
+    val loop = GraphOps.distributedComponents(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loop == (0L to 39L).map(_ -> 0L).toMap)
+    val localUF = GraphOps.connectedComponents(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(localUF == loop)
+  }
+
   test("triangle plan: keyed equi-joins only, no cartesian product") {
-    val plan = GraphOps.triangleCounts(edges)
+    // the above-gate join pipeline is the shape that must never degenerate
+    val plan = GraphOps.triangleCountsJoined(edges)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       s"triangle join degenerated to a cartesian:\n${plan.take(2000)}")
