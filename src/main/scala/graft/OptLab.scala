@@ -202,6 +202,35 @@ object OptLab {
             s"SMJ=${c("SortMergeJoin")} BHJ=${c("BroadcastHashJoin")} " +
             s"Generate=${c("Generate")}")
         }
+      case "kgem" =>
+        import graft.kg.{EntityLinking, Materialize, Model, PagesSource, TripleExtraction}
+        import graft.ops.SkewOps
+        val stageBase = java.nio.file.Paths.get("/dev/shm/graft-bench")
+        java.nio.file.Files.createDirectories(stageBase)
+        val stageDir =
+          java.nio.file.Files.createTempDirectory(stageBase, "optlab-").toString
+        Materialize.write(
+          TripleExtraction.run(
+            PagesSource.pages(spark, PagesSource.countForSfDir(sfDir))).toDF(),
+          stageDir)
+        for (rep <- 1 to reps) {
+          println(s"--- rep $rep")
+          import spark.implicits._
+          def staged = Materialize.readTriples(spark, stageDir)
+            .drop("bucket").as[Model.TripleRow]
+          time("staged read count") { staged.count() }
+          val men = EntityLinking.mentions(staged)
+          time("mentions count") { men.count() }
+          time("distinct surfaces collect") {
+            men.select(col("surface")).distinct().limit(2000001).as[String].collect().length
+          }
+          val linked = EntityLinking.run(staged)
+          time("linked count") { linked.count() }
+          time("full salted count") {
+            SkewOps.entityMentionCounts(EntityLinking.run(staged)).count()
+          }
+        }
+        Bench.rmTree(new java.io.File(stageDir))
       case "edge" =>
         for (rep <- 1 to reps) {
           println(s"--- rep $rep")

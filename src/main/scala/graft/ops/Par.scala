@@ -29,6 +29,7 @@ object Par {
     * iff the current plan would execute in fewer partitions. `key` should
     * be high-cardinality (a row id) so the spread is even. */
   def widen(df: DataFrame, key: Column): DataFrame = {
+    if (sys.env.contains("GRAFT_WIDEN_OFF")) return df // A/B kill switch
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
   }
