@@ -325,7 +325,13 @@ object GraphOps {
   }
 
   /** The distributed pointer-doubling loop (taken above the gate; directly
-    * callable in tests to cover the at-scale path on small inputs). */
+    * callable in tests to cover the at-scale path on small inputs).
+    *
+    * Convergence bound (round-7 ADVICE): doubling halves label chains each
+    * round, so graphs of diameter up to ~2^maxIter converge; if the loop
+    * exhausts maxIter with labels still changing (a pathological
+    * longer-chain graph), the labels returned would be mid-propagation —
+    * that case logs a warning instead of passing silently. */
   private[ops] def distributedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("u").as("s"), col("v").as("d"))
       .unionAll(edges.select(col("v").as("s"), col("u").as("d")))
@@ -360,6 +366,11 @@ object GraphOps {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] WARN connectedComponents: label " +
+        s"propagation still changing after maxIter=$maxIter rounds " +
+        s"(graph diameter > ~2^$maxIter?) — returned labels may be " +
+        "mid-propagation; raise maxIter")
     labels.select(col("n"), col("l").as("component"))
   }
 

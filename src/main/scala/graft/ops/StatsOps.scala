@@ -64,7 +64,12 @@ object StatsOps {
     * broadcasts. The corpus is never sorted and never re-shuffled — it IS
     * read twice (once pruned to (group, value) for the histogram, once to
     * emit rows), the unavoidable two passes of any derive-then-apply
-    * shape; both scans are column-pruned. */
+    * shape; both scans are column-pruned.
+    *
+    * PRECONDITION (round-7 ADVICE): group and value must be NON-NULL.
+    * The histogram keeps null keys but the rank join is strict equality,
+    * so null-group/null-value rows would silently vanish from the output;
+    * filter or impute nulls upstream if they can occur. */
   def percentileRanks(df: DataFrame, groupCol: String,
                       valueCol: String): DataFrame = {
     val hist = df.groupBy(col(groupCol), col(valueCol).as("v"))

@@ -198,6 +198,7 @@ object EventStreams {
       .withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
+      .drop("fp") // working column — callers get the input schema back
 
   /** Windowed count-min frequency sketch of user ids: the streaming form
     * of [[graft.ops.SketchOps.countMinTable]]. Per-key streaming counts
@@ -246,5 +247,4 @@ object EventStreams {
         col("event_type"))
       .agg(sketch(col("h")).as("regs"))
   }
-      .drop("fp") // working column — callers get the input schema back
 }

@@ -153,7 +153,11 @@ class EventStreamsSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
     val docs = input.toDF().toDF("doc_id", "ts", "text")
-    val query = streamingDedup(docs, "120 minutes")
+    val deduped = streamingDedup(docs, "120 minutes")
+    // documented contract: callers get the INPUT schema back — the internal
+    // fp fingerprint column must not leak (round-7 ADVICE regression)
+    assert(deduped.columns.toSeq == docs.columns.toSeq, deduped.columns.toSeq)
+    val query = deduped
       .writeStream.format("memory").queryName("sd")
       .outputMode(OutputMode.Append()).start()
     try {
