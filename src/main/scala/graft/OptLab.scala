@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{BoundedMinK, GraphOps}
+import graft.ops.{BoundedMinK, GraphOps, Par}
 
 /** Scratch phase-timing harness for the optimization round (not part of the
   * bench contract; delete or keep as a tool). Times labelled sub-phases of
@@ -253,6 +253,37 @@ object OptLab {
                 .as("v"))
           time("pairs (pre-distinct) count") { pairs.count() }
           time("pairs distinct count") { pairs.distinct().count() }
+        }
+      case "edge2" =>
+        // marginal cost of the final pair distinct, bench-shaped (widened):
+        // collect distinct pairs vs collect raw pairs + driver-side dedup
+        for (rep <- 1 to reps) {
+          println(s"--- rep $rep")
+          import spark.implicits._
+          def pairs = {
+            val minK = udaf(new BoundedMinK(GraphOps.GROUP_CAP))
+            Par.widen(
+                spark.read.parquet(s"$sfDir/lineitem.parquet")
+                  .select(col("l_orderkey").as("g"),
+                    col("l_partkey").cast("long").as("it")),
+                col("g"))
+              .distinct()
+              .groupBy(col("g")).agg(minK(col("it")).as("mk"))
+              .select(col("mk").getField("ids").as("items"))
+              .select(posexplode(col("items")).as(Seq("i", "u")), col("items"))
+              .select(col("u"),
+                explode(slice(col("items"), col("i") + lit(2), size(col("items"))))
+                  .as("v"))
+          }
+          time("collect distinct pairs") {
+            val n = pairs.distinct().as[(Long, Long)].collect().length
+            println(s"    distinct pairs: $n")
+          }
+          time("collect raw pairs + driver dedup") {
+            val ev = pairs.as[(Long, Long)].collect()
+            val n = ev.distinct.length
+            println(s"    raw ${ev.length} -> distinct $n")
+          }
         }
       case _ => sys.error(s"unknown phase set '$which'")
     }

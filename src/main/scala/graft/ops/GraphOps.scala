@@ -383,12 +383,17 @@ object GraphOps {
     * of leaking ≤ deg·1 credit units per node per hop to rounding
     * (relative error ≤ deg/seed ≈ 10⁻⁶ at the default seed).
     *
-    * One keyed join + one partial-agg shuffle per iteration — the canonical
-    * distributed PageRank shape. NOT pinned: each relation is consumed once
-    * per hop and Catalyst's exchange reuse covers the repeats — measured
-    * FASTER than a columnar cache build here (1.67 s vs 2.36 s at sf0.1),
-    * unlike the triangle op. Nodes with no incident edge are not ranked
-    * (deg ≥ 1 by construction). */
+    * Two physical paths with identical results (the triangle/CC gate,
+    * round-8): because every hop is pure integer arithmetic and integer
+    * addition is associative-commutative, ANY evaluation order produces
+    * the same bits — so under [[BROADCAST_EDGE_LIMIT]] the operator does
+    * one gate-bounded collect of the edge list (the bytes each hop's
+    * broadcast-shaped join would ship anyway) and runs the `iters` hops
+    * over int-interned arrays on the driver, replacing 3·(join +
+    * partial-agg shuffle) with zero jobs after the collect. Above the
+    * gate the canonical one-keyed-join + one-partial-agg-shuffle-per-hop
+    * pipeline runs unchanged ([[pageRankCreditsJoined]], equality with
+    * the local path pinned by GraphOpsSpec). */
   def pageRankCredits(edges: DataFrame, iters: Int = 3,
                       seed: Long = 1000000000L,
                       dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
@@ -396,6 +401,81 @@ object GraphOps {
     require(dampNum > 0 && dampNum < dampDen, "damping must be in (0, 1)")
     require(seed * (dampDen - dampNum) % dampDen == 0,
       "seed*(1-damping) must be integer so the per-hop base is exact")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = pinned(edges.select(col("u").cast("long"), col("v").cast("long")))
+    val m = e.count()
+    if (m <= BROADCAST_EDGE_LIMIT) {
+      val ev = e.as[(Long, Long)].collect()
+      e.unpersist(false)
+      spark.createDataset(
+          localPageRankCredits(ev, iters, seed, dampNum, dampDen).toIndexedSeq)
+        .toDF("n", "c")
+    } else {
+      // above the gate the joined pipeline re-derives from the raw edges
+      // (unchanged round-7 shape: per-hop exchange reuse, no pin — a cache
+      // was measured SLOWER than recompute here, 2.36 s vs 1.67 s at sf0.1)
+      e.unpersist(false)
+      pageRankCreditsJoined(edges, iters, seed, dampNum, dampDen)
+    }
+  }
+
+  /** Driver-local integer-credit hops over int-interned nodes; bounded by
+    * the [[BROADCAST_EDGE_LIMIT]] gate. Identical bits to the joined path:
+    * base + Σ floor(c·dampNum/(dampDen·deg)) per node per hop, and integer
+    * sums are order-independent. */
+  private[ops] def localPageRankCredits(ev: Array[(Long, Long)], iters: Int,
+      seed: Long, dampNum: Long, dampDen: Long): Array[(Long, Long)] = {
+    val base = seed * (dampDen - dampNum) / dampDen
+    val idx = new java.util.HashMap[Long, java.lang.Integer]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def intern(x: Long): Int = {
+      val cur = idx.get(x)
+      if (cur == null) {
+        val i = ids.length
+        idx.put(x, i); ids += x; i
+      } else cur.intValue()
+    }
+    val us = new Array[Int](ev.length)
+    val vs = new Array[Int](ev.length)
+    var i = 0
+    while (i < ev.length) {
+      us(i) = intern(ev(i)._1); vs(i) = intern(ev(i)._2); i += 1
+    }
+    val n = ids.length
+    val deg = new Array[Long](n)
+    i = 0
+    while (i < ev.length) { deg(us(i)) += 1; deg(vs(i)) += 1; i += 1 }
+    var credit = Array.fill(n)(seed)
+    var hop = 0
+    while (hop < iters) {
+      val inc = new Array[Long](n)
+      i = 0
+      while (i < ev.length) {
+        val a = us(i); val b = vs(i)
+        // Long '/' truncates toward zero == floor for positive operands,
+        // matching the joined path's BIGINT DIV
+        inc(b) += credit(a) * dampNum / (dampDen * deg(a))
+        inc(a) += credit(b) * dampNum / (dampDen * deg(b))
+        i += 1
+      }
+      i = 0
+      while (i < n) { inc(i) += base; i += 1 }
+      credit = inc
+      hop += 1
+    }
+    Array.tabulate(n)(k => (ids(k), credit(k)))
+  }
+
+  /** The per-hop join pipeline (taken above the gate; directly callable in
+    * tests to cover the at-scale path on small inputs). One keyed join +
+    * one partial-agg shuffle per iteration — the canonical distributed
+    * PageRank shape. NOT pinned: each relation is consumed once per hop
+    * and Catalyst's exchange reuse covers the repeats. Nodes with no
+    * incident edge are not ranked (deg ≥ 1 by construction). */
+  private[ops] def pageRankCreditsJoined(edges: DataFrame, iters: Int = 3,
+                      seed: Long = 1000000000L,
+                      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
     val base = seed * (dampDen - dampNum) / dampDen // exact by the require
     val eb = edges.select(col("u").as("s"), col("v").as("d"))
       .unionAll(edges.select(col("v").as("s"), col("u").as("d")))

@@ -155,6 +155,14 @@ class GraphOpsSpec extends AnyFunSuite {
       val joined = GraphOps.triangleCountsJoined(e)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(joined == fast, s"trial $trial: joined $joined vs fast $fast")
+      // integer-credit PageRank: the driver-local hops must be bit-equal
+      // to the per-hop join pipeline (integer sums are order-independent)
+      val prFast = GraphOps.pageRankCredits(e, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prJoined = GraphOps.pageRankCreditsJoined(e, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(prJoined == prFast,
+        s"trial $trial: pagerank joined $prJoined vs local $prFast")
     }
     // 40-node path: diameter forces the doubling loop well past 2 rounds
     val path = (0L until 39L).map(i => (i, i + 1)).toDF("u", "v")
