@@ -174,6 +174,20 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(localUF == loop)
   }
 
+  test("gated operators leave no pinned RDDs behind (round-7 VERDICT #4)") {
+    // the under-gate paths pin the edge list for the count+collect passes
+    // and must release it once the collect lands — a long-lived session
+    // issuing many graph queries must not accumulate pinned blocks
+    val before = spark.sparkContext.getPersistentRDDs.size
+    GraphOps.triangleCounts(edges).collect()
+    GraphOps.connectedComponents(edges).collect()
+    GraphOps.pageRankCredits(edges, iters = 2).collect()
+    GraphOps.degreeCensus(edges).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before,
+      s"net pinned-RDD increase after gated graph ops: $before -> $after")
+  }
+
   test("triangle plan: keyed equi-joins only, no cartesian product") {
     // the above-gate join pipeline is the shape that must never degenerate
     val plan = GraphOps.triangleCountsJoined(edges)
