@@ -285,6 +285,20 @@ object OptLab {
             println(s"    raw ${ev.length} -> distinct $n")
           }
         }
+      case "finalplan" =>
+        // execute a query and report duplicated-subtree evidence from the
+        // FINAL adaptive plan (post-collect; AQE reuse only shows there)
+        val names = if (args.length > 2) args(2).split(",").toSeq else Seq("dedup_simhash")
+        names.foreach { name =>
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          time(s"$name collect") { df.collect().length }
+          val full = df.queryExecution.executedPlan.toString
+          val fin = full.split("== Initial Plan ==")(0)
+          def c(p: String) = p.r.findAllIn(fin).length
+          println(s"OPTLAB $name FINAL plan: scans=${c("Scan parquet")} " +
+            s"mapPartitions=${c("MapPartitions")} exchanges=${c("Exchange")} " +
+            s"reused=${c("ReusedExchange")} bhj=${c("BroadcastHashJoin")}")
+        }
       case _ => sys.error(s"unknown phase set '$which'")
     }
     spark.stop()
