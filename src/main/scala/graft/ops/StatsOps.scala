@@ -10,6 +10,24 @@ import org.apache.spark.sql.functions._
   */
 object StatsOps {
 
+  /** Guard for the histogram-statistics family (round-7 VERDICT #5): the
+    * "compact histogram" scale argument — distinct values orders of
+    * magnitude below row count — holds for integral pipeline columns
+    * (lengths, token counts) but silently evaporates on a continuous
+    * double column, where the (group, value) histogram becomes
+    * row-count-sized and the window sorts the corpus after all. Fail fast
+    * instead; quantize/bucket a continuous column first. */
+  private def requireIntegralValue(df: DataFrame, valueCol: String,
+                                   op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(valueCol).dataType
+    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(dt),
+      s"$op: value column '$valueCol' must be integral, got $dt — the " +
+      "histogram scale premise (distinct values << rows) does not hold " +
+      "for continuous columns; quantize or bucket the column first")
+  }
+
   /** Exact per-group discrete quantiles of an integer-valued column,
     * computed from the (group, value) count histogram — never a per-row
     * sort. Output: one row per (group, quantile) with the discrete
@@ -30,6 +48,7 @@ object StatsOps {
                      qPermille: Seq[Int] = Seq(250, 500, 750, 900, 990)): DataFrame = {
     require(qPermille.nonEmpty && qPermille.forall(q => q > 0 && q <= 1000),
       s"quantiles must be permille in (0, 1000]: $qPermille")
+    requireIntegralValue(df, valueCol, "groupQuantiles")
     val hist = df.groupBy(col(groupCol), col(valueCol).as("v"))
       .agg(count(lit(1)).as("cnt"))
     val byGroup = Window.partitionBy(col(groupCol))
@@ -72,6 +91,7 @@ object StatsOps {
     * filter or impute nulls upstream if they can occur. */
   def percentileRanks(df: DataFrame, groupCol: String,
                       valueCol: String): DataFrame = {
+    requireIntegralValue(df, valueCol, "percentileRanks")
     val hist = df.groupBy(col(groupCol), col(valueCol).as("v"))
       .agg(count(lit(1)).as("cnt"))
     val byGroup = Window.partitionBy(col(groupCol))

@@ -586,6 +586,21 @@ class OpsSpec extends AnyFunSuite {
     assert(df.collect().length == 5)
   }
 
+  test("histogram stats reject continuous value columns (VERDICT #5 guard)") {
+    import spark.implicits._
+    // a double score column would make the (group, value) histogram
+    // row-count-sized and silently sort the corpus — must fail fast
+    val cont = Seq(("a", 1.5), ("a", 2.5)).toDF("g", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      StatsOps.groupQuantiles(cont, "g", "v")
+    }
+    assert(e1.getMessage.contains("must be integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      StatsOps.percentileRanks(cont, "g", "v")
+    }
+    assert(e2.getMessage.contains("must be integral"))
+  }
+
   test("budgetSelect: inclusive prefix per source, text never shuffles") {
     import spark.implicits._
     val df = Seq(
